@@ -1,0 +1,217 @@
+"""URL hygiene, robots, boundaries, directives-loader unit tests
+(porting checked_join_test, robots matcher semantics, boundary logic)."""
+
+import os
+
+import pytest
+
+from lopez_ray.crawler.boundaries import Boundaries
+from lopez_ray.crawler.robots import Match, RobotExclusion, crawl_delay_for
+from lopez_ray.crawler.urls import (
+    BadLink,
+    ParamPolicy,
+    canonicalize,
+    checked_join,
+    host_of,
+    normalize,
+    origin_of,
+)
+from lopez_ray.dsl.directives import Directives, LoadError
+
+
+# ---- checked_join (crawler/worker/mod.rs:124-134 + behaviors) ----
+
+
+def test_checked_join_reference_vector():
+    assert (
+        checked_join("https://querobolsa.com.br/mba", "/revista/assunto/especiais")
+        == "https://querobolsa.com.br/revista/assunto/especiais"
+    )
+
+
+def test_checked_join_rejections():
+    base = "https://example.test/dir/page"
+    for raw in ["", "#section", "mailto:x@y.z", "ftp://x/y", "javascript:void(0)"]:
+        with pytest.raises(BadLink):
+            checked_join(base, raw)
+    with pytest.raises(BadLink):
+        checked_join(base, "http://127.0.0.1/x")  # IP host → no domain
+
+
+def test_checked_join_relative_forms():
+    base = "https://example.test/dir/page"
+    assert checked_join(base, "sub") == "https://example.test/dir/sub"
+    assert checked_join(base, "../up") == "https://example.test/up"
+    assert checked_join(base, "/root") == "https://example.test/root"
+    assert checked_join(base, "//other.test/x") == "https://other.test/x"
+    assert checked_join(base, "?q=1") == "https://example.test/dir/page?q=1"
+    assert checked_join(base, "p#frag") == "https://example.test/dir/p#frag"
+
+
+def test_normalize():
+    assert normalize("HTTP://Example.TEST:80/a/../b") == "http://example.test/b"
+    assert normalize("https://x.test:8443/") == "https://x.test:8443/"
+    assert normalize("https://x.test") == "https://x.test/"
+    assert host_of("https://A.B.test:1/x") == "a.b.test"
+    assert origin_of("https://x.test/p") == ("https", "x.test", 443)
+
+
+def test_param_policy():
+    pol = ParamPolicy(use_params=["id"], ignore_params=["utm_source"])
+    assert (
+        canonicalize("https://x.test/p?utm_source=a&id=2&junk=3", pol)
+        == "https://x.test/p?id=2"
+    )
+    pol_all = ParamPolicy(use_all=True, ignore_params=["utm_source"])
+    assert (
+        canonicalize("https://x.test/p?utm_source=a&id=2&junk=3", pol_all)
+        == "https://x.test/p?id=2&junk=3"
+    )
+    # emptied query removed entirely (directives.rs:565-570)
+    assert canonicalize("https://x.test/p?utm_source=a", pol) == "https://x.test/p"
+
+
+# ---- robots (robots.rs) ----
+
+ROBOTS = """
+# Ban Grapeshot
+User-Agent: grapeshot
+Disallow: /
+
+User-Agent: *
+Disallow: /auth/
+Disallow: /busca-cursos/resultados
+Disallow: /intercambio?
+Crawl-delay: 2
+Disallow: /api/
+"""
+
+
+def test_robots_star_section():
+    r = RobotExclusion(ROBOTS, "lopez")
+    assert not r.allows("https://x.test/auth/login")
+    assert not r.allows("https://x.test/api/v1")
+    assert not r.allows("https://x.test/deep/auth/x")  # find() semantics: substring
+    assert r.allows("https://x.test/ok")
+    assert not r.allows("https://x.test/intercambio?x=1")  # '?' matches query route
+    assert r.crawl_delay() == 2.0
+
+
+def test_robots_specific_section():
+    r = RobotExclusion(ROBOTS, "grapeshot")
+    assert not r.allows("https://x.test/anything")
+
+
+def test_robots_wildcard_and_strict():
+    m = Match("/a*b")
+    assert m.matches("/a/x/b")
+    assert not m.matches("/b/a")  # b must come after a
+    assert Match("").matches("/x") is False  # empty pattern corner case
+    # Reference quirk: `$` strict rules require the remaining route (which
+    # still contains the last matched pattern) to be empty — so they only
+    # match via an empty last pattern; ported exactly (robots.rs:85-87).
+    assert not Match("/login$").matches("/login")
+
+
+def test_robots_request_rate():
+    r = RobotExclusion("User-agent: *\nRequest-rate: 1/5", "lopez")
+    assert r.crawl_delay() == 5.0
+    assert crawl_delay_for(r, 2.5) == 5.0
+    assert crawl_delay_for(None, 2.5) == 0.4
+
+
+# ---- boundaries (boundaries.rs:40-76) ----
+
+
+def make_boundaries():
+    return Boundaries(
+        allowed=[r"^https?://(a|b)\.test/"],
+        disallowed=[r"/private/"],
+        frontier=[r"^https://b\.test/leaf"],
+        param_policy=ParamPolicy(ignore_params=["utm_source"], use_all=True),
+    )
+
+
+def test_boundaries_gates():
+    b = make_boundaries()
+    assert b.is_allowed("https://a.test/x")
+    assert not b.is_allowed("https://a.test/private/x")
+    assert not b.is_allowed("https://c.test/x")
+    assert b.is_frontier("https://b.test/leaf/1")
+
+
+def test_clean_links():
+    b = make_boundaries()
+    links = [
+        ("ahref", "/one"),
+        ("ahref", "/one"),  # dup
+        ("ahref", "two?utm_source=z&id=1"),
+        ("ahref", "#frag"),
+        ("ahref", "mailto:x@y"),
+        ("ahref", "https://c.test/offsite"),
+        ("ahref", "/private/secret"),
+        ("canonical", "https://a.test/canon"),
+    ]
+    out = b.clean_links("https://a.test/dir/page", links)
+    assert out == [
+        ("ahref", "https://a.test/dir/two?id=1"),
+        ("ahref", "https://a.test/one"),
+        ("canonical", "https://a.test/canon"),
+    ]
+    # frontier page yields no links at all
+    assert b.clean_links("https://b.test/leaf/1", links) == []
+
+
+# ---- directives loader ----
+
+
+def test_directives_end_to_end(tmp_path):
+    (tmp_path / "main.lcd").write_text(
+        """
+        import "sub";
+        seed "https://a.test/";
+        allow "^https://a[.]test/";
+        set quota = 50;
+        select h1 { h1: first(text); }
+        """
+    )
+    (tmp_path / "sub.lcd").write_text('select h2 { h2s: collect(text); }')
+    d = Directives.load(str(tmp_path / "main.lcd"))
+    assert d.seeds() == ["https://a.test/"]
+    p = d.parameters()
+    assert p.quota == 50 and p.max_depth == 7 and p.max_hits_per_sec == 2.5
+    assert set(d.rule_types()) == {"h1", "sub.h2s"}
+
+    from lopez_ray.html.dom import parse_html
+
+    doc = parse_html("<h1>T</h1><h2>a</h2><h2>b</h2>")
+    out = dict(d.analyzer().analyze("https://a.test/", doc))
+    assert out == {"h1": "T", "sub.h2s": ["a", "b"]}
+
+
+def test_directives_validation_errors():
+    with pytest.raises(LoadError):
+        Directives.from_source('set nonsense = 1;')
+    with pytest.raises(LoadError):
+        Directives.from_source('set quota = 1; set quota = 2;')
+    with pytest.raises(LoadError):
+        Directives.from_source('set quota = "hi";')
+    with pytest.raises(LoadError):
+        Directives.from_source('seed "https://x.test/"; allow "^https://y";')
+    with pytest.raises(LoadError):
+        Directives.from_source(
+            'seed "https://x.test/"; allow "^https://x"; frontier "^https://x[.]test/$";'
+        )
+    with pytest.raises(LoadError):
+        Directives.from_source("select a { x: count; } select b { x: count; }")
+
+
+def test_module_super_root_paths(tmp_path):
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (tmp_path / "main.lcd").write_text('import "pkg";')
+    (pkg / "module.lcd").write_text('import "super.other";')
+    (tmp_path / "other.lcd").write_text("select i { n: count; }")
+    d = Directives.load(str(tmp_path / "main.lcd"))
+    assert set(d.modules) == {"", "pkg", "other"}
+    assert set(d.rule_types()) == {"other.n"}
