@@ -1,0 +1,229 @@
+"""Sharded URL frontier — the engine's only custom distributed state.
+
+Each shard is a Ray actor owning a disjoint set of hosts
+(``shard_id = page_hash(host) % n_shards``), holding:
+
+- a cuckoo-filter pre-filter + exact page store (URL-seen set with
+  open/taken/closed/error status, mirroring the reference's ``status``
+  table state machine, postgres migrations init/up.sql);
+- per-host open sets feeding the batch selection;
+- staged per-wave link deltas, committed deterministically at the wave
+  barrier (first-wins like ``on conflict do nothing``,
+  postgres-lopez/src/worker.rs:58-108, but applied in sorted
+  (depth, page_id) order so runs are reproducible);
+- counters (discovered, deduped, completed, errors) with per-wave lineage.
+
+Batch selection reproduces ``fetch.sql`` (postgres-lopez/src/sql/
+fetch.sql:1-40): for every open page, ``count`` = number of open pages in
+the same domain with depth <= its depth (the SQL window ``count(*) over
+(partition by domain order by depth)`` in RANGE mode counts peers), then
+order by (count, depth) limit B — ties broken by page_id for determinism
+(the SQL leaves them unspecified). Domains never span shards, so the
+shard-local top-B union contains the global top-B exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from collections import defaultdict
+from heapq import nsmallest
+
+from ..hash import page_id as page_id_of
+from ..state.cuckoo import CuckooFilter
+from .urls import host_of
+
+OPEN, TAKEN, CLOSED, ERROR = "open", "taken", "closed", "error"
+
+
+def shard_of(host: str, n_shards: int) -> int:
+    return page_id_of(host) % n_shards
+
+
+class FrontierShard:
+    """Plain class; wrapped with ray.remote by the driver (waves.py)."""
+
+    def __init__(self, shard_id: int, n_shards: int, filter_capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        # page_id -> [url, depth, status, status_code]
+        self.pages: dict[int, list] = {}
+        self.open_by_host: dict[str, dict[int, int]] = defaultdict(dict)
+        self.prefilter = CuckooFilter(filter_capacity)
+        self.staged: list[tuple[int, str, int]] = []  # (depth, url, page_id)
+        self.counters: dict[str, int] = defaultdict(int)
+        self.wave_log: list[dict] = []  # per-wave lineage
+
+    # ----- seeding / merging -----
+
+    def _insert_new(self, pid: int, url: str, depth: int) -> bool:
+        if pid in self.pages:
+            self.counters["deduped"] += 1
+            return False
+        self.pages[pid] = [url, depth, OPEN, None]
+        self.open_by_host[host_of(url)][pid] = depth
+        self.prefilter.add_hash(pid & 0xFFFFFFFFFFFFFFFF)
+        self.counters["discovered"] += 1
+        return True
+
+    def seed(self, urls: list[str]) -> int:
+        n = 0
+        for url in urls:
+            if self._insert_new(page_id_of(url), url, 0):
+                n += 1
+        return n
+
+    def stage(self, rows: list[tuple[str, int]]) -> None:
+        """Stage (url, depth) link deltas from in-flight wave tasks. The
+        cuckoo prefilter answers definite-new without touching the exact
+        store; maybes are resolved at commit."""
+        for url, depth in rows:
+            pid = page_id_of(url)
+            if self.prefilter.contains_hash(pid & 0xFFFFFFFFFFFFFFFF):
+                if pid in self.pages:  # resolve maybe via exact store
+                    self.counters["deduped"] += 1
+                    continue
+            self.staged.append((depth, url, pid))
+
+    def commit_wave(self, wave: int) -> dict:
+        """Apply staged deltas deterministically: sorted by (depth,
+        page_id); first occurrence of a page wins (first-discovery depth,
+        `on conflict do nothing` semantics)."""
+        self.staged.sort(key=lambda t: (t[0], t[2]))
+        added = 0
+        for depth, url, pid in self.staged:
+            if self._insert_new(pid, url, depth):
+                added += 1
+        self.staged.clear()
+        entry = {
+            "wave": wave,
+            "added": added,
+            "open": sum(len(v) for v in self.open_by_host.values()),
+            **{k: int(v) for k, v in self.counters.items()},
+        }
+        self.wave_log.append(entry)
+        return entry
+
+    # ----- batch selection (fetch.sql) -----
+
+    def candidates(self, limit: int, max_depth: int) -> list[tuple[int, int, int, str]]:
+        """Shard-local top-`limit` open pages as (count, depth, page_id,
+        url) under the fetch.sql comparator. Does not mark taken."""
+        entries: list[tuple[int, int, int, str]] = []
+        for host, opens in self.open_by_host.items():
+            if not opens:
+                continue
+            eligible = [(d, pid) for pid, d in opens.items() if d <= max_depth]
+            if not eligible:
+                continue
+            eligible.sort()
+            depths = [d for d, _ in eligible]
+            # count for row i = # rows with depth <= depths[i] (peers incl.)
+            n = len(depths)
+            j = 0
+            counts = [0] * n
+            for i in range(n):
+                while j < n and depths[j] <= depths[i]:
+                    j += 1
+                counts[i] = j
+            for i, (d, pid) in enumerate(eligible):
+                entries.append((counts[i], d, pid, self.pages[pid][0]))
+        return nsmallest(limit, entries)
+
+    def take(self, page_ids: list[int]) -> None:
+        for pid in page_ids:
+            rec = self.pages.get(pid)
+            if rec is not None and rec[2] == OPEN:
+                rec[2] = TAKEN
+                self.open_by_host[host_of(rec[0])].pop(pid, None)
+
+    # ----- completion -----
+
+    def complete(self, results: list[tuple[int, str, int | None, str]]) -> None:
+        """[(page_id, final_status, status_code, outcome)] — close or error
+        taken pages (ensure_closed.sql / ensure_error.sql); outcome feeds
+        the north-rule counters (robots_denied, timed_out, ...)."""
+        for pid, status, code, outcome in results:
+            rec = self.pages.get(pid)
+            if rec is None:
+                continue
+            rec[2] = status
+            rec[3] = code
+            self.counters["completed" if status == CLOSED else "errors"] += 1
+            if outcome in ("robots_denied", "timed_out", "not_found"):
+                self.counters[outcome] += 1
+
+    # ----- control -----
+
+    def open_count(self, max_depth: int) -> int:
+        return sum(
+            1
+            for opens in self.open_by_host.values()
+            for d in opens.values()
+            if d <= max_depth
+        )
+
+    def taken_count(self) -> int:
+        return sum(1 for rec in self.pages.values() if rec[2] == TAKEN)
+
+    def reset_queue(self) -> int:
+        """reset_queue.sql: taken | error → open (crash recovery)."""
+        n = 0
+        for pid, rec in self.pages.items():
+            if rec[2] in (TAKEN, ERROR):
+                rec[2] = OPEN
+                self.open_by_host[host_of(rec[0])][pid] = rec[1]
+                n += 1
+        return n
+
+    def status_rows(self) -> list[tuple[str, int, str, int | None, int]]:
+        return [
+            (rec[0], pid, rec[2], rec[3], rec[1]) for pid, rec in self.pages.items()
+        ]
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "pages": len(self.pages),
+            "open": self.open_count(10**9),
+            **{k: int(v) for k, v in self.counters.items()},
+        }
+
+    def wave_lineage(self) -> list[dict]:
+        return self.wave_log
+
+    # ----- checkpoint / restore -----
+
+    def checkpoint(self, directory: str) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"frontier-shard-{self.shard_id}.pkl")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(
+                {
+                    "shard_id": self.shard_id,
+                    "n_shards": self.n_shards,
+                    "pages": self.pages,
+                    "open_by_host": dict(self.open_by_host),
+                    "prefilter": self.prefilter.state(),
+                    "counters": dict(self.counters),
+                    "wave_log": self.wave_log,
+                },
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+        os.replace(tmp, path)  # atomic per-shard checkpoint
+        return path
+
+    def restore(self, directory: str) -> bool:
+        path = os.path.join(directory, f"frontier-shard-{self.shard_id}.pkl")
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            st = pickle.load(f)
+        self.pages = st["pages"]
+        self.open_by_host = defaultdict(dict, st["open_by_host"])
+        self.prefilter = CuckooFilter.from_state(st["prefilter"])
+        self.counters = defaultdict(int, st["counters"])
+        self.wave_log = st["wave_log"]
+        return True

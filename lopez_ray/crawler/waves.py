@@ -1,0 +1,345 @@
+"""The crawl wave loop — lopez's master loop re-expressed over Ray Data.
+
+Reference: ``crawler/master.rs:114-183`` (fetch batch → sort → route →
+dispatch → poll-done), re-shaped wave-synchronously (SURVEY.md §3.1):
+
+  loop:
+    1. frontier shards emit their local top-B candidates under the
+       fetch.sql comparator; the driver merges to the global top-B and
+       marks them taken (two-phase = fetch.sql's UPDATE...RETURNING);
+    2. the wave batch becomes a Dataset with one Arrow block per
+       host-hash partition; long-lived fetch actors (politeness clocks,
+       robots caches, corpus index held across waves) fetch each
+       partition — ``from_arrow_refs`` turns their outputs into blocks
+       without copying through the driver;
+    3. analyze runs as stateless ``map_batches`` tasks (per-process
+       memoized Analyzer), link deltas and completions are pushed to the
+       owning frontier shards from inside the final stage (synchronous
+       actor calls, so stream completion implies delivery);
+    4. the wave output (status + analyses + link list columns) streams to
+       ``out_dir/wave=N/`` via write_parquet — one consumption, no
+       driver materialization;
+    5. at the barrier the shards commit staged deltas deterministically
+       and checkpoint; quota/termination mirror master.rs:159-183.
+
+Determinism: candidate order is total ((count, depth, page_id)); staged
+merges commit sorted by (depth, page_id) with first-wins. Any reference
+execution could have produced this order; ours always does.
+
+Scale: nothing here materializes the corpus — payload bytes flow only
+fetch-actor → analyze-task → (dropped before write). The frontier is
+O(pages) per shard with cuckoo pre-filtering; wave size and shard/fetcher
+counts are the scaling knobs (at 256 nodes: thousands of shards, wave
+batches of millions, same code path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from heapq import nsmallest
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..dsl.directives import Directives
+from ..hash import page_id as page_id_of
+from .analyze import AnalyzeStage
+from .fetch import FetchStage
+from .frontier import FrontierShard, shard_of
+from .urls import host_of
+
+_ANALYZE_CACHE: dict[int, AnalyzeStage] = {}
+
+
+def _analyze_fn(directives_source: str):
+    key = hash(directives_source)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _ANALYZE_CACHE.get(key)
+        if stage is None:
+            stage = _ANALYZE_CACHE[key] = AnalyzeStage(directives_source)
+        return stage(batch)
+
+    return fn
+
+
+def _push_fn(shard_handles: list, n_shards: int):
+    """Final stage: push link deltas + completions to the owning shards.
+    Synchronous (ray.get) so that full stream consumption implies all
+    frontier messages have landed before the wave barrier."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        deltas: dict[int, list] = defaultdict(list)
+        completions: dict[int, list] = defaultdict(list)
+        urls = batch["url"].to_pylist()
+        pids = batch["page_id"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        statuses = batch["final_status"].to_pylist()
+        codes = batch["status_code"].to_pylist()
+        links = batch["link_urls"].to_pylist()
+        outcomes = batch["outcome"].to_pylist()
+        for i, url in enumerate(urls):
+            completions[shard_of(host_of(url), n_shards)].append(
+                (pids[i], statuses[i], codes[i], outcomes[i])
+            )
+            for link in links[i]:
+                deltas[shard_of(host_of(link), n_shards)].append(
+                    (link, depths[i] + 1)
+                )
+        futures = [
+            shard_handles[s].stage.remote(rows) for s, rows in deltas.items()
+        ] + [
+            shard_handles[s].complete.remote(rows)
+            for s, rows in completions.items()
+        ]
+        ray.get(futures)
+        # Payload bytes end here: drop before the write stage.
+        return batch.drop_columns([c for c in ("html", "bytes") if c in batch.column_names])
+
+    return fn
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        directives_source: str,
+        web_path: str,
+        corpus_path: str | None,
+        robots_path: str | None,
+        out_dir: str,
+        wave_name: str = "wave",
+        n_shards: int = 4,
+        n_fetchers: int = 4,
+        batch_size: int = 1024,
+        max_quota: int | None = None,
+        enforce_politeness: bool = True,
+        checkpoint_every: int = 1,
+    ):
+        self.directives_source = directives_source
+        self.directives = Directives.from_source(directives_source)
+        self.params = self.directives.parameters()
+        self.web_path = web_path
+        self.corpus_path = corpus_path
+        self.robots_path = robots_path
+        self.out_dir = out_dir
+        self.wave_name = wave_name
+        self.n_shards = n_shards
+        self.n_fetchers = n_fetchers
+        self.batch_size = batch_size
+        self.max_quota = max_quota
+        self.enforce_politeness = enforce_politeness
+        self.checkpoint_every = checkpoint_every
+        self.wave_dir = os.path.join(out_dir, wave_name)
+        self.ckpt_dir = os.path.join(self.wave_dir, "checkpoint")
+
+    # ----- setup -----
+
+    def _broadcast_fixture(self):
+        web = pq.read_table(self.web_path)
+        web_map = {}
+        for row in web.to_pylist():
+            web_map[row["url"]] = row
+        robots_map = {}
+        if self.robots_path and os.path.exists(self.robots_path):
+            for row in pq.read_table(self.robots_path).to_pylist():
+                if row["robots_txt"] is not None:
+                    robots_map[row["host"]] = row["robots_txt"]
+        return ray.put(web_map), ray.put(robots_map)
+
+    def _spawn(self):
+        ShardActor = ray.remote(num_cpus=0)(FrontierShard)
+        self.shards = [
+            ShardActor.remote(i, self.n_shards) for i in range(self.n_shards)
+        ]
+        web_ref, robots_ref = self._broadcast_fixture()
+        FetchActor = ray.remote(num_cpus=1)(FetchStage)
+        self.fetchers = [
+            FetchActor.remote(
+                web_ref,
+                robots_ref,
+                self.corpus_path,
+                max_hits_per_sec=self.params.max_hits_per_sec,
+                request_timeout=self.params.request_timeout,
+                user_agent="lopez",
+                enforce_politeness=self.enforce_politeness,
+            )
+            for _ in range(self.n_fetchers)
+        ]
+
+    # ----- wave loop -----
+
+    def run(self, resume: bool = False) -> dict:
+        try:
+            return self._run(resume)
+        finally:
+            self._shutdown()
+
+    def _shutdown(self) -> None:
+        """Release actors so their CPU reservations return to the pool
+        (idle fetch actors would otherwise starve later pipelines)."""
+        for a in getattr(self, "fetchers", []) + getattr(self, "shards", []):
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self.fetchers, self.shards = [], []
+
+    def _run(self, resume: bool = False) -> dict:
+        ctx = rd.DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.execution_options.verbose_progress = False
+        import logging
+
+        logging.getLogger("ray.data").setLevel(logging.WARNING)
+        os.makedirs(self.wave_dir, exist_ok=True)
+        self._spawn()
+        restored = False
+        if resume:
+            flags = ray.get([s.restore.remote(self.ckpt_dir) for s in self.shards])
+            restored = all(flags) and len(flags) > 0
+        if restored:
+            ray.get([s.reset_queue.remote() for s in self.shards])
+        else:
+            seeds = self.directives.seeds()
+            by_shard = defaultdict(list)
+            for u in seeds:
+                by_shard[shard_of(host_of(u), self.n_shards)].append(u)
+            ray.get(
+                [self.shards[s].seed.remote(urls) for s, urls in by_shard.items()]
+            )
+
+        stats = ray.get([s.stats.remote() for s in self.shards])
+        consumed = sum(s.get("completed", 0) + s.get("errors", 0) for s in stats)
+        effective_quota = min(
+            self.params.quota, self.max_quota if self.max_quota else 10**18
+        )
+        remaining_quota = max(0, effective_quota - consumed)
+
+        analyze = _analyze_fn(self.directives_source)
+        push = _push_fn(self.shards, self.n_shards)
+
+        self._seq = consumed  # global emission counter (crawl-order lineage)
+        n_sent = 0
+        wave = self._next_wave_index()
+        t0 = time.monotonic()
+        while remaining_quota - n_sent > 0:
+            budget = min(self.batch_size, remaining_quota - n_sent)
+            batch = self._fetch_batch(budget)
+            if not batch:
+                break
+            self._run_wave(wave, batch, analyze, push)
+            n_sent += len(batch)
+            ray.get([s.commit_wave.remote(wave) for s in self.shards])
+            if self.checkpoint_every and wave % self.checkpoint_every == 0:
+                ray.get([s.checkpoint.remote(self.ckpt_dir) for s in self.shards])
+                self._write_manifest(wave, n_sent)
+            wave += 1
+        elapsed = time.monotonic() - t0
+
+        # Final authoritative status table + lineage.
+        status_rows = ray.get([s.status_rows.remote() for s in self.shards])
+        self._write_status(status_rows)
+        ray.get([s.checkpoint.remote(self.ckpt_dir) for s in self.shards])
+        self._write_manifest(wave, n_sent, final=True)
+        stats = ray.get([s.stats.remote() for s in self.shards])
+        counters = defaultdict(int)
+        for s in stats:
+            for k, v in s.items():
+                if k not in ("shard",):
+                    counters[k] += v
+        summary = {
+            "waves": wave,
+            "fetched": n_sent,
+            "elapsed_sec": elapsed,
+            "urls_per_sec": (n_sent / elapsed) if elapsed > 0 else 0.0,
+            **{k: int(v) for k, v in counters.items()},
+        }
+        with open(os.path.join(self.wave_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        return summary
+
+    def _fetch_batch(self, budget: int):
+        cand_lists = ray.get(
+            [
+                s.candidates.remote(budget, self.params.max_depth)
+                for s in self.shards
+            ]
+        )
+        merged = nsmallest(budget, (c for lst in cand_lists for c in lst))
+        if not merged:
+            return []
+        by_shard = defaultdict(list)
+        for _cnt, _d, pid, url in merged:
+            by_shard[shard_of(host_of(url), self.n_shards)].append(pid)
+        ray.get([self.shards[s].take.remote(pids) for s, pids in by_shard.items()])
+        return merged
+
+    def _run_wave(self, wave: int, batch, analyze, push) -> None:
+        parts: dict[int, dict[str, list]] = defaultdict(
+            lambda: {"url": [], "page_id": [], "depth": [], "seq": []}
+        )
+        for _cnt, depth, pid, url in batch:
+            p = page_id_of(host_of(url)) % self.n_fetchers
+            parts[p]["url"].append(url)
+            parts[p]["page_id"].append(pid)
+            parts[p]["depth"].append(depth)
+            parts[p]["seq"].append(self._seq)
+            self._seq += 1
+        refs = []
+        for p, cols in parts.items():
+            table = pa.table(
+                {
+                    "url": pa.array(cols["url"], pa.large_utf8()),
+                    "page_id": pa.array(cols["page_id"], pa.int64()),
+                    "depth": pa.array(cols["depth"], pa.int32()),
+                    "seq": pa.array(cols["seq"], pa.int64()),
+                }
+            )
+            refs.append(self.fetchers[p].fetch.remote(table))
+        ds = rd.from_arrow_refs(refs)
+        ds = ds.map_batches(analyze, batch_format="pyarrow", batch_size=None)
+        ds = ds.map_batches(push, batch_format="pyarrow", batch_size=None)
+        ds.write_parquet(os.path.join(self.wave_dir, f"wave={wave:05d}"))
+
+    # ----- outputs -----
+
+    def _next_wave_index(self) -> int:
+        existing = [
+            d for d in os.listdir(self.wave_dir) if d.startswith("wave=")
+        ] if os.path.isdir(self.wave_dir) else []
+        return (
+            max(int(d.split("=")[1]) for d in existing) + 1 if existing else 0
+        )
+
+    def _write_manifest(self, wave: int, n_sent: int, final: bool = False) -> None:
+        with open(os.path.join(self.wave_dir, "manifest.json"), "w") as f:
+            json.dump(
+                {"wave": wave, "n_sent": n_sent, "final": final, "name": self.wave_name},
+                f,
+            )
+
+    def _write_status(self, status_rows) -> None:
+        cols = {"url": [], "page_id": [], "search_status": [], "status_code": [], "depth": []}
+        for rows in status_rows:
+            for url, pid, status, code, depth in rows:
+                cols["url"].append(url)
+                cols["page_id"].append(pid)
+                cols["search_status"].append(status)
+                cols["status_code"].append(code)
+                cols["depth"].append(depth)
+        table = pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "page_id": pa.array(cols["page_id"], pa.int64()),
+                "search_status": pa.array(cols["search_status"], pa.string()),
+                "status_code": pa.array(cols["status_code"], pa.int32()),
+                "depth": pa.array(cols["depth"], pa.int32()),
+            }
+        )
+        pq.write_table(table, os.path.join(self.wave_dir, "status.parquet"))

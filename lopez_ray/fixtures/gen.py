@@ -82,7 +82,7 @@ def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "manifest.json")
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in ("web", "corpus", "robots")}
-    want = {"tier": tier, "seed": seed, "version": 3}
+    want = {"tier": tier, "seed": seed, "version": 4}
     if os.path.exists(manifest):
         try:
             with open(manifest) as f:
@@ -221,13 +221,14 @@ def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
     robots_txt = []
     for hi, host in enumerate(hosts):
         r = _rng(seed, "robots", hi)
-        if r.random() < 0.2:
-            robots_txt.append(None)  # 404 robots
-        elif hi == 0:
+        if hi == 0:
+            # the hot host always has robots (exercises Disallow + delay)
             robots_txt.append(
                 "User-Agent: grapeshot\nDisallow: /\n\n"
                 "User-Agent: *\nDisallow: /private/\nCrawl-delay: 0.01\n"
             )
+        elif r.random() < 0.2:
+            robots_txt.append(None)  # 404 robots
         else:
             body = "User-Agent: *\n"
             if r.random() < 0.3:
