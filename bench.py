@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: `ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`,
+run the headline pipelines over `$GRAFT_SF_DIR` (default
+/root/testdata/sf0.1) plus the flagship crawl over the deterministic
+synthetic web fixture, and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "crawl": {"urls": U, "sec": S, "urls_per_sec": R}}
+
+`--scaling`: run the SAME crawl job twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency (thr_4N / (4 * thr_N)) — the sandbox evidence
+protocol for the north rule's N→4N cluster criterion (see BASELINE.md).
+
+Only this script (and tests/CLI) owns a Ray session; __ray_entry__ never
+calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline query subset: one per operator family (text stats, shuffle agg,
+# broadcast join, window agg, exact dedup, minhash LSH, ANN, multimodal).
+BENCH_QUERIES = [
+    "doc_stats",
+    "lineitem_pricing",
+    "orders_by_segment",
+    "events_window",
+    "dedup_exact",
+    "lang_counts",
+    "simhash",
+    "minhash_pairs",
+    "ann_bruteforce",
+    "embedding_norms",
+    "quality",
+]
+
+CRAWL_TIER = os.environ.get("GRAFT_BENCH_TIER", "bench")  # 50k pages / 50 hosts
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _consume(result) -> int:
+    """Force execution; return row count without driver materialization
+    of the data (aggregates are tiny, Datasets are counted)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    return 0
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from lopez_ray.pipelines.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def run_crawl(num_cpus: int, quota: int = 50_000, batch_size: int = 4096) -> dict:
+    """Flagship crawl throughput over the cached bench-tier fixture."""
+    from lopez_ray.crawler.waves import CrawlJob
+    from lopez_ray.fixtures.gen import TIERS, generate
+
+    n_hosts = TIERS[CRAWL_TIER]["hosts"]
+    paths = generate(f"/tmp/lopez_ray_fixtures/{CRAWL_TIER}", tier=CRAWL_TIER, seed=42)
+    seeds = "\n".join(
+        f'seed "https://host{i}.test/p/0";' for i in range(n_hosts)
+    )
+    config = f"""
+{seeds}
+allow "^https://host[0-9]+\\.test/";
+ignore param "utm_source";
+use param *;
+set quota = {quota};
+set max_hits_per_sec = 10000.0;
+set max_depth = 12;
+select head title {{ title: first(text); }}
+select a {{ n-links: count; }}
+select p[class="caption"] {{ caption: first(text pretty); }}
+"""
+    out_dir = f"/tmp/lopez_ray_bench/crawl-{CRAWL_TIER}-{num_cpus}cpu-{int(time.time())}"
+    job = CrawlJob(
+        config,
+        web_path=paths["web"],
+        corpus_path=paths["corpus"],
+        robots_path=paths["robots"],
+        out_dir=out_dir,
+        n_shards=8,
+        n_fetchers=max(2, num_cpus),  # 0.5 CPU each → half the cores fetch
+        batch_size=batch_size,
+        checkpoint_every=0,
+    )
+    summary = job.run()
+    return {
+        "urls": summary["fetched"],
+        "sec": round(summary["elapsed_sec"], 3),
+        "urls_per_sec": round(summary["urls_per_sec"], 1),
+        "waves": summary["waves"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--sf-dir", default=None)
+    args = ap.parse_args()
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = args.sf_dir or os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if args.scaling:
+        # Fresh process per parallelism level (the sandbox stand-in for
+        # N-node vs 4N-node clusters).
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--crawl-only", "--cpus", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        thr8 = results[8]["crawl"]["urls_per_sec"]
+        thr32 = results[32]["crawl"]["urls_per_sec"]
+        eff = thr32 / (4.0 * thr8) if thr8 else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": "crawl scaling efficiency (8→32 CPUs, fresh sessions)",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "urls_per_sec_8cpu": thr8,
+                    "urls_per_sec_32cpu": thr32,
+                    "num_cpus": [8, 32],
+                }
+            )
+        )
+        return
+
+    _init_ray(num_cpus)
+    import ray
+
+    try:
+        if args.crawl_only:
+            crawl = run_crawl(num_cpus)
+            print(
+                json.dumps(
+                    {
+                        "metric": "crawl throughput",
+                        "value": crawl["sec"],
+                        "unit": "sec",
+                        "crawl": crawl,
+                        "num_cpus": num_cpus,
+                    }
+                )
+            )
+            return
+        t0 = time.perf_counter()
+        timings = run_queries(sf_dir)
+        crawl = run_crawl(num_cpus)
+        total = round(time.perf_counter() - t0, 3)
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline pipelines total wall (queries + crawl)",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "crawl": crawl,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

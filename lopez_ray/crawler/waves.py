@@ -158,7 +158,10 @@ class CrawlJob:
             ShardActor.remote(i, self.n_shards) for i in range(self.n_shards)
         ]
         web_ref, robots_ref = self._broadcast_fixture()
-        FetchActor = ray.remote(num_cpus=1)(FetchStage)
+        # Fractional CPU: fetch is latency-simulation-bound, not compute;
+        # this keeps (n_fetchers actors + Dataset map tasks) schedulable
+        # even in a 4-CPU test session.
+        FetchActor = ray.remote(num_cpus=0.5)(FetchStage)
         self.fetchers = [
             FetchActor.remote(
                 web_ref,

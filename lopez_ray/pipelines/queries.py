@@ -1,0 +1,714 @@
+"""Driver-contract query registry: one entry per operator/pipeline from
+SURVEY.md §2 plus the training-data ops, each as a callable(sf_dir) with
+(where SQL-expressible) a DuckDB oracle producing identical columns.
+
+Conventions for the driver's order-insensitive value-hash compare:
+- every aggregate/computed column is named identically in Ray and SQL;
+- float columns are rounded to 6 (aggregates) or 4 (cosines) decimals on
+  BOTH sides so accumulation-order noise can't flip the hash;
+- the oracle tables are the driver-registered views region/nation/...
+
+Scale notes are inline: partial per-batch pre-aggregation before every
+groupby shuffle, broadcast small sides via ray.put, column pruning at
+read_parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _conc(frac: float = 0.5, lo: int = 2, hi: int = 24) -> int:
+    """Actor-pool size scaled to the session's CPUs (4-CPU test sessions
+    get 2 actors; the 32-CPU bench gets 16) — hardcoding either number
+    starves one or deadlocks the other."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(lo, min(hi, int(cpus * frac)))
+
+
+def _round_col(table: pa.Table, col: str, digits: int) -> pa.Table:
+    i = table.column_names.index(col)
+    return table.set_column(i, col, pc.round(table[col], ndigits=digits))
+
+
+# ---------------------------------------------------------------------------
+# documents: text stats / lopez transformer functions
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str):
+    from ..stages.text import text_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text_stats(b).select(
+            ["doc_id", "n_chars", "n_bytes", "n_tokens", "n_punct"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_STATS = """
+select doc_id,
+       length(text) as n_chars,
+       strlen(text) as n_bytes,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) as n_tokens,
+       len(regexp_extract_all(text, '[^\\w\\s]')) as n_punct
+from documents
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "documents", ["lang", "n_chars"])
+    return (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+SQL_LANG_COUNTS = """
+select lang, count(*) as n_docs, sum(n_chars) as total_chars
+from documents group by lang
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, col="text", id_col="doc_id")
+    return out.drop_columns(["content_hash"])
+
+
+SQL_DEDUP_EXACT = """
+select min(doc_id) as doc_id, count(*) as n from documents group by text
+"""
+
+
+def q_capture(sf_dir: str):
+    """lopez `capture "re" get "0"` over documents (functions library)."""
+    from ..functions import capture_group_column
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "first_o_word": capture_group_column(b["text"], r"[a-z]*o[a-z]*"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CAPTURE = """
+select doc_id, nullif(regexp_extract(text, '[a-z]*o[a-z]*'), '') as first_o_word
+from documents
+"""
+
+
+def q_matches_replace(sf_dir: str):
+    """lopez `matches`/`replace` transformers, vectorized."""
+    from ..functions import length_bytes, matches_column, replace_column
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "has_join_merge": matches_column(b["text"], "join.*merge"),
+                "masked_len": length_bytes(
+                    replace_column(b["text"], "[aeiou]+", "#")
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_MATCHES_REPLACE = """
+select doc_id,
+       regexp_matches(text, 'join.*merge') as has_join_merge,
+       strlen(regexp_replace(text, '[aeiou]+', '#', 'g')) as masked_len
+from documents
+"""
+
+
+def q_hash(sf_dir: str):
+    """SipHash24 (`hash` transformer / page_id) — no SQL equivalent;
+    rows-only check, bit-parity pinned by tests/test_hash.py vectors."""
+    from ..functions import hash_column
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "text_hash": hash_column(b["text"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pretty(sf_dir: str):
+    """lopez `pretty` whitespace normalizer — Rust-parity fn, rows-only."""
+    from ..functions import pretty_column
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "pretty_text": pretty_column(b["text"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-day windows per event_type: pre-aggregated per batch
+    (pyarrow group_by) before the global groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        t = pa.table(
+            {"event_type": b["event_type"], "day": day, "value": b["value"]}
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("value_sum", alias_name="total"),
+            Sum("value_count", alias_name="n"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": b["day"],
+                "n": b["n"].cast(pa.int64()),
+                "total": pc.round(b["total"], ndigits=6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW = """
+select event_type,
+       cast(floor(epoch_us(ts) / 86400000000) as bigint) as day,
+       count(*) as n,
+       round(sum(value), 6) as total
+from events group by 1, 2
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user: sort-within-group
+    map_groups; counts sessions and events per user."""
+    import pandas as pd
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().astype("int64") // 1_000_000  # seconds
+        gaps = ts.diff().fillna(0)
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONS = """
+with ordered as (
+  select user_id, ts,
+         epoch_us(ts) // 1000000 as sec,
+         lag(epoch_us(ts) // 1000000) over (partition by user_id order by ts) as prev
+  from events
+)
+select user_id,
+       count(*) as n_events,
+       (sum(case when prev is not null and sec - prev > 1800 then 1 else 0 end) + 1) as n_sessions
+from ordered group by user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational pipelines
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """Q1-like pricing summary: per-batch pyarrow pre-aggregation, then a
+    small groupby shuffle; avg derived from sums at the end."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "price": b["l_extendedprice"],
+                "disc_price": disc_price,
+                "disc": b["l_discount"],
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("disc", "sum"), ("qty", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("price_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("disc_sum", alias_name="_sum_disc"),
+            Sum("qty_count", alias_name="count_order"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["count_order"].cast(pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.round(b["sum_qty"], ndigits=6),
+                "sum_base_price": pc.round(b["sum_base_price"], ndigits=6),
+                "sum_disc_price": pc.round(b["sum_disc_price"], ndigits=6),
+                "avg_disc": pc.round(pc.divide(b["_sum_disc"], n), ndigits=6),
+                "count_order": b["count_order"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_PRICING = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) as sum_qty,
+       round(sum(l_extendedprice), 6) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) as sum_disc_price,
+       round(sum(l_discount) / count(*), 6) as avg_disc,
+       count(*) as count_order
+from lineitem group by l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast join: customer (small side) shipped once via ray.put,
+    looked up per batch — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        seg_map = ray.get(seg_map_ref)
+        segs = [seg_map.get(k) for k in b["o_custkey"].to_pylist()]
+        t = pa.table(
+            {"c_mktsegment": pa.array(segs, pa.string()), "price": b["o_totalprice"]}
+        )
+        return t.group_by("c_mktsegment").aggregate(
+            [("price", "sum"), ("price", "count")]
+        )
+
+    agg = (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("price_sum", alias_name="total_price"),
+            Sum("price_count", alias_name="n_orders"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": b["n_orders"].cast(pa.int64()),
+                "total_price": pc.round(b["total_price"], ndigits=6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_BY_SEGMENT = """
+select c.c_mktsegment, count(*) as n_orders,
+       round(sum(o.o_totalprice), 6) as total_price
+from orders o join customer c on o.o_custkey = c.c_custkey
+group by c.c_mktsegment
+"""
+
+
+def q_suppliers_per_region(sf_dir: str):
+    """Two chained broadcast lookups (supplier→nation→region)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name.get(v) for k, v in n2r.items()})
+    ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        names = [lk.get(k) for k in b["s_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+
+
+SQL_SUPPLIERS_PER_REGION = """
+select r.r_name, count(*) as n_suppliers
+from supplier s
+join nation n on s.s_nationkey = n.n_nationkey
+join region r on n.n_regionkey = r.r_regionkey
+group by r.r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.array(df["embedding"].tolist(), dtype=np.float64)
+
+
+def q_ann_bruteforce(sf_dir: str):
+    """Brute-force cosine top-10 for the 3 lowest-vec_id query vectors;
+    scores rounded to 4dp, ties broken by vec_id on both sides."""
+    from ..stages.ann import brute_force_topk
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, _query_matrix(sf_dir), k=10)
+    out = _round_col(out, "score", 4)
+    # stable top-10 by (rounded score desc, vec_id) per query
+    import pandas as pd
+
+    df = out.to_pandas()
+    keep = []
+    for qi, g in df.groupby("query_idx"):
+        keep.append(
+            g.sort_values(["score", "vec_id"], ascending=[False, True]).head(10)
+        )
+    df = pd.concat(keep).reset_index(drop=True)
+    df["query_idx"] = df["query_idx"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_ANN_BRUTEFORCE = """
+with q as (
+  select vec_id as qid, embedding::double[] as qvec,
+         row_number() over (order by vec_id) - 1 as query_idx
+  from embeddings order by vec_id limit 3
+), scored as (
+  select q.query_idx, e.vec_id,
+         round(list_cosine_similarity(e.embedding::double[], q.qvec), 4) as score
+  from embeddings e cross join q
+), ranked as (
+  select *, row_number() over (partition by query_idx order by score desc, vec_id) as rn
+  from scored
+)
+select query_idx, vec_id, score from ranked where rn <= 10
+"""
+
+
+def q_embedding_norms(sf_dir: str):
+    """Vector norm + label groupby — numeric kernel over list<float>."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        vecs = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(vecs, axis=1)
+        return pa.table({"label": b["label"], "norm": pa.array(n, pa.float64())})
+
+    agg = (
+        ds.map_batches(norms, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n"), Sum("norm", alias_name="norm_total"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": b["label"],
+                "n": b["n"].cast(pa.int64()),
+                "norm_total": pc.round(b["norm_total"], ndigits=6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NORMS = """
+select label, count(*) as n,
+       round(sum(sqrt(list_dot_product(embedding::double[], embedding::double[]))), 6) as norm_total
+from embeddings group by label
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) ops
+# ---------------------------------------------------------------------------
+
+
+def q_langid(sf_dir: str):
+    from ..stages.text import LangId
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=_conc()
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality(sf_dir: str):
+    from ..stages.text import quality_score, text_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: quality_score(text_stats(b)).select(["doc_id", "quality"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from ..stages.text import Fingerprint
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        Fingerprint, batch_format="pyarrow", concurrency=_conc()
+    ).select_columns(["doc_id", "fp_min"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_dedup_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from ..stages.dedup import simhash_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_dups(sf_dir: str):
+    from ..stages.dedup import embedding_near_dups
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.9)
+
+
+def q_ann_ivf(sf_dir: str):
+    from ..stages.ann import ivf_topk
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, _query_matrix(sf_dir), k=10)
+
+
+def _crawl_out_dir(sf_dir: str) -> str:
+    return os.path.join("/tmp/lopez_ray_entry", "crawl-" + sf_dir.strip("/").replace("/", "_"))
+
+
+def q_crawl_bfs(sf_dir: str):
+    """The flagship crawl over the deterministic t1 web fixture (the
+    crawl domain has no SQL oracle; parity is pinned by the DuckDB
+    fetch.sql oracle in tests/test_crawl_e2e.py)."""
+    import pyarrow.parquet as pq
+
+    from ..crawler.waves import CrawlJob
+    from ..fixtures.gen import generate
+
+    paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
+    out_dir = _crawl_out_dir(sf_dir)
+    status_path = os.path.join(out_dir, "wave", "status.parquet")
+    if not os.path.exists(status_path):
+        job = CrawlJob(
+            CRAWL_CONFIG,
+            web_path=paths["web"],
+            corpus_path=paths["corpus"],
+            robots_path=paths["robots"],
+            out_dir=out_dir,
+            n_shards=4,
+            n_fetchers=4,
+            batch_size=64,
+        )
+        job.run()
+    return pq.read_table(status_path)
+
+
+def q_crawl_pagerank(sf_dir: str):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ..crawler.pagerank import power_iteration
+    from ..hash import page_id as pid_of
+
+    q_crawl_bfs(sf_dir)  # ensure the crawl ran
+    out_dir = _crawl_out_dir(sf_dir)
+    status = pq.read_table(os.path.join(out_dir, "wave", "status.parquet"))
+    closed = {
+        p
+        for p, s in zip(
+            status["page_id"].to_pylist(), status["search_status"].to_pylist()
+        )
+        if s == "closed"
+    }
+    edges = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "wave", "wave=*", "*.parquet"))):
+        t = pq.read_table(f, columns=["page_id", "link_urls", "link_reasons"])
+        for row in t.to_pylist():
+            if row["page_id"] not in closed:
+                continue
+            for url, reason in zip(row["link_urls"], row["link_reasons"]):
+                if reason == "ahref" and pid_of(url) in closed:
+                    edges.append((row["page_id"], pid_of(url)))
+    nodes, ranks = power_iteration(np.array(edges, dtype=np.int64).reshape(-1, 2))
+    return pa.table(
+        {
+            "page_id": pa.array(nodes, pa.int64()),
+            "rank": pc.round(pa.array(ranks, pa.float64()), ndigits=8),
+        }
+    )
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Image decode/resize/feature pipeline over the t1 corpus."""
+    import ray.data as rd
+
+    from ..fixtures.gen import generate
+    from ..stages.multimodal import corpus_pipeline
+
+    paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
+    corpus = rd.read_parquet(paths["corpus"])
+    out = corpus_pipeline(corpus)
+    return out.select_columns(["image_id", "decode_ok", "dec_w", "dec_h", "dec_phash"])
+
+
+CRAWL_CONFIG = """
+seed "https://host0.test/p/0";
+seed "https://host1.test/p/0";
+seed "https://host2.test/p/0";
+allow "^https://host[0-9]+\\.test/";
+ignore param "utm_source";
+use param *;
+set quota = 200;
+set max_hits_per_sec = 1000.0;
+set max_depth = 7;
+select head title { title: first(text); }
+select a { n-links: count; }
+select p[class="caption"] { caption: first(text pretty); }
+"""
+
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "lang_counts": q_lang_counts,
+    "dedup_exact": q_dedup_exact,
+    "capture": q_capture,
+    "matches_replace": q_matches_replace,
+    "siphash": q_hash,
+    "pretty": q_pretty,
+    "events_window": q_events_window,
+    "events_sessions": q_events_sessions,
+    "lineitem_pricing": q_lineitem_pricing,
+    "orders_by_segment": q_orders_by_segment,
+    "suppliers_per_region": q_suppliers_per_region,
+    "ann_bruteforce": q_ann_bruteforce,
+    "embedding_norms": q_embedding_norms,
+    "langid": q_langid,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "embedding_dups": q_embedding_dups,
+    "ann_ivf": q_ann_ivf,
+    "crawl_bfs": q_crawl_bfs,
+    "crawl_pagerank": q_crawl_pagerank,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "doc_stats": SQL_DOC_STATS,
+    "lang_counts": SQL_LANG_COUNTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "capture": SQL_CAPTURE,
+    "matches_replace": SQL_MATCHES_REPLACE,
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "lineitem_pricing": SQL_LINEITEM_PRICING,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "suppliers_per_region": SQL_SUPPLIERS_PER_REGION,
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+}

@@ -1,0 +1,139 @@
+"""Multimodal (image) stages over corpus-schema tables
+(image_id, bytes, w, h, fmt, caption, phash) — BASELINE.json input_hint.
+
+Actor-pool ``map_batches`` stages; binary payload columns stay in Arrow
+(zero-copy) and batches are kept small because rows are wide (ray_guide:
+size batch × concurrency to the heap).
+
+Formats: png and the corpus' lossy "jpeg" (LJPG) decode for real via
+lopez_ray.media.codecs. Anything else (webp/avif/video/audio) raises
+NotImplementedError at the decode seam — the decode step is STUBBED for
+formats whose libraries aren't in this container, while the Ray-side
+plumbing (schema, batch shapes, actor signatures, output layout) is real
+and tested (per the round brief).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..media.codecs import decode
+from ..media.phash import phash64
+
+
+class DecodeStage:
+    """bytes/fmt → decoded stats + recomputed phash (+ optional pixel
+    passthrough for downstream feature stages)."""
+
+    def __init__(self, keep_pixels: bool = False, strict: bool = False):
+        self.keep_pixels = keep_pixels
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ok, w, h, ph, pixels = [], [], [], [], []
+        for data, fmt in zip(datas, fmts):
+            if data is None:
+                ok.append(False); w.append(None); h.append(None); ph.append(None); pixels.append(None)
+                continue
+            try:
+                img = decode(data, fmt)
+            except NotImplementedError:
+                if self.strict:
+                    raise
+                ok.append(False); w.append(None); h.append(None); ph.append(None); pixels.append(None)
+                continue
+            ok.append(True)
+            h.append(img.shape[0])
+            w.append(img.shape[1])
+            ph.append(phash64(img))
+            pixels.append(img.astype(np.uint8).tobytes() if self.keep_pixels else None)
+        out = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        out = out.append_column("dec_w", pa.array(w, pa.int32()))
+        out = out.append_column("dec_h", pa.array(h, pa.int32()))
+        out = out.append_column("dec_phash", pa.array(ph, pa.int64()))
+        if self.keep_pixels:
+            out = out.append_column("pixels", pa.array(pixels, pa.binary()))
+        return out
+
+
+class ResizeStage:
+    """Block-mean resize of decoded pixels to (size × size) RGB; consumes
+    the ``pixels`` column from DecodeStage(keep_pixels=True)."""
+
+    def __init__(self, size: int = 16):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..media.phash import _resize_mean
+
+        outs = []
+        for data, w, h, ok in zip(
+            batch["pixels"].to_pylist(),
+            batch["dec_w"].to_pylist(),
+            batch["dec_h"].to_pylist(),
+            batch["decode_ok"].to_pylist(),
+        ):
+            if not ok or data is None:
+                outs.append(None)
+                continue
+            img = np.frombuffer(data, dtype=np.uint8)
+            img = img.reshape(h, w, -1).astype(np.float64)
+            small = np.stack(
+                [_resize_mean(img[:, :, c], self.size) for c in range(img.shape[2])],
+                axis=2,
+            )
+            outs.append(np.clip(small, 0, 255).astype(np.uint8).tobytes())
+        return batch.append_column("thumb", pa.array(outs, pa.binary()))
+
+
+class ImageFeatures:
+    """Cheap global features: mean/std per channel + brightness — the
+    deterministic stand-in for a model-embedding stage (model load would
+    live in __init__, inference in __call__)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for data, w, h, ok in zip(
+            batch["pixels"].to_pylist(),
+            batch["dec_w"].to_pylist(),
+            batch["dec_h"].to_pylist(),
+            batch["decode_ok"].to_pylist(),
+        ):
+            if not ok or data is None:
+                feats.append(None)
+                continue
+            img = np.frombuffer(data, dtype=np.uint8).reshape(h, w, -1).astype(np.float64)
+            f = []
+            for c in range(img.shape[2]):
+                f += [float(img[:, :, c].mean()), float(img[:, :, c].std())]
+            f.append(float(img.mean()))
+            feats.append(f)
+        return batch.append_column("features", pa.array(feats, pa.list_(pa.float64())))
+
+
+def corpus_pipeline(corpus_ds, batch_size: int = 64, concurrency: int = 2):
+    """decode → resize → features over a corpus Dataset; small batches
+    because rows carry image payloads.
+
+    Each of the three actor pools asks for 0.5 CPU so the chain
+    (3 pools × concurrency actors) plus the read tasks stays schedulable
+    even in a 4-CPU session; at cluster scale raise concurrency, not
+    num_cpus — the stages are per-row numpy work that doesn't fan out
+    threads."""
+    opts = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    return (
+        corpus_ds.map_batches(
+            DecodeStage, fn_constructor_kwargs={"keep_pixels": True}, **opts
+        )
+        .map_batches(ResizeStage, **opts)
+        .map_batches(ImageFeatures, **opts)
+        .drop_columns(["pixels", "bytes"])
+    )

@@ -1,0 +1,129 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry at sf0.001 and compare against oracle_sql() via DuckDB — row count,
+schema (column names), and order-insensitive values."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{os.path.join(sf_dir, t)}.parquet'"
+        )
+    return con
+
+
+def to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        result = result.to_pandas()
+    if isinstance(result, pa.Table):
+        result = result.to_pandas()
+    return result
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        canon_row = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    canon_row.append(("nan",))
+                else:
+                    canon_row.append(round(v, 9))
+            else:
+                canon_row.append(v)
+        rows.append(tuple(canon_row))
+    return sorted(rows, key=repr)
+
+
+def test_entry_smoke(entry_mod):
+    out = to_df(entry_mod.entry())
+    assert len(out) == 500
+    assert set(out.columns) == {
+        "doc_id", "n_chars", "n_tokens", "stop_ratio", "quality", "lang_pred"
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_stats", "lang_counts", "dedup_exact", "capture", "matches_replace",
+        "events_window", "events_sessions", "lineitem_pricing",
+        "orders_by_segment", "suppliers_per_region", "ann_bruteforce",
+        "embedding_norms",
+    ],
+)
+def test_query_vs_oracle(entry_mod, oracle_con, sf_dir, name):
+    ray_df = to_df(entry_mod.queries()[name](sf_dir))
+    sql_df = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), name
+    assert len(ray_df) == len(sql_df), name
+    a, b = canon(ray_df), canon(sql_df)
+    mismatches = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mismatches, f"{name}: first mismatch {a[mismatches[0]]} != {b[mismatches[0]]}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "siphash", "pretty", "langid", "quality", "fingerprint", "simhash",
+        "embedding_dups", "ann_ivf", "multimodal_decode",
+    ],
+)
+def test_rows_only_queries(entry_mod, sf_dir, name):
+    df = to_df(entry_mod.queries()[name](sf_dir))
+    assert len(df) >= 0
+    if name in ("siphash", "pretty", "quality", "fingerprint", "simhash"):
+        assert len(df) == 500
+
+
+def test_minhash_query_runs(entry_mod, sf_dir):
+    df = to_df(entry_mod.queries()["minhash_pairs"](sf_dir))
+    assert set(df.columns) >= {"a", "b"}
+
+
+def test_ivf_recall_vs_bruteforce(entry_mod, sf_dir):
+    bf = to_df(entry_mod.queries()["ann_bruteforce"](sf_dir))
+    ivf = to_df(entry_mod.queries()["ann_ivf"](sf_dir))
+    recall_num = recall_den = 0
+    for qi in bf["query_idx"].unique():
+        truth = set(bf[bf.query_idx == qi]["vec_id"])
+        got = set(ivf[ivf.query_idx == qi]["vec_id"])
+        recall_num += len(truth & got)
+        recall_den += len(truth)
+    assert recall_num / recall_den >= 0.5  # nprobe=4/16 partial scan
+
+
+def test_crawl_queries(entry_mod, sf_dir):
+    status = to_df(entry_mod.queries()["crawl_bfs"](sf_dir))
+    assert set(status.columns) == {"url", "page_id", "search_status", "status_code", "depth"}
+    assert (status["search_status"] != "open").sum() >= 200
+    ranks = to_df(entry_mod.queries()["crawl_pagerank"](sf_dir))
+    assert len(ranks) > 50 and abs(ranks["rank"].sum() - 1.0) < 0.05
