@@ -94,13 +94,20 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def run_crawl(num_cpus: int, quota: int = 50_000, batch_size: int = 4096) -> dict:
+def run_crawl(
+    num_cpus: int,
+    tier: str | None = None,
+    quota: int | None = None,
+    batch_size: int = 16384,
+) -> dict:
     """Flagship crawl throughput over the cached bench-tier fixture."""
     from lopez_ray.crawler.waves import CrawlJob
     from lopez_ray.fixtures.gen import TIERS, generate
 
-    n_hosts = TIERS[CRAWL_TIER]["hosts"]
-    paths = generate(f"/tmp/lopez_ray_fixtures/{CRAWL_TIER}", tier=CRAWL_TIER, seed=42)
+    tier = tier or CRAWL_TIER
+    n_hosts = TIERS[tier]["hosts"]
+    quota = quota or TIERS[tier]["pages"]
+    paths = generate(f"/tmp/lopez_ray_fixtures/{tier}", tier=tier, seed=42)
     seeds = "\n".join(
         f'seed "https://host{i}.test/p/0";' for i in range(n_hosts)
     )
@@ -116,7 +123,7 @@ select head title {{ title: first(text); }}
 select a {{ n-links: count; }}
 select p[class="caption"] {{ caption: first(text pretty); }}
 """
-    out_dir = f"/tmp/lopez_ray_bench/crawl-{CRAWL_TIER}-{num_cpus}cpu-{int(time.time())}"
+    out_dir = f"/tmp/lopez_ray_bench/crawl-{tier}-{num_cpus}cpu-{int(time.time())}"
     job = CrawlJob(
         config,
         web_path=paths["web"],
@@ -124,7 +131,7 @@ select p[class="caption"] {{ caption: first(text pretty); }}
         robots_path=paths["robots"],
         out_dir=out_dir,
         n_shards=8,
-        n_fetchers=max(2, num_cpus),  # 0.5 CPU each → half the cores fetch
+        n_fetchers=max(2, num_cpus),  # 0.25 CPU each → 1/4 of cores fetch
         batch_size=batch_size,
         checkpoint_every=0,
     )
@@ -142,6 +149,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--tier", default=None)
     ap.add_argument("--sf-dir", default=None)
     args = ap.parse_args()
 
@@ -150,11 +158,17 @@ def main() -> None:
 
     if args.scaling:
         # Fresh process per parallelism level (the sandbox stand-in for
-        # N-node vs 4N-node clusters).
+        # N-node vs 4N-node clusters). Uses the xl tier so per-wave
+        # parallel work dominates the fixed wave-barrier cost, as it does
+        # at the north rule's real scale. Pre-generate the fixture once
+        # (it is cached on disk) so neither timed run pays generation.
         results = {}
         for cpus in (8, 32):
             out = subprocess.run(
-                [sys.executable, __file__, "--crawl-only", "--cpus", str(cpus)],
+                [
+                    sys.executable, __file__, "--crawl-only",
+                    "--cpus", str(cpus), "--tier", "bench-xl",
+                ],
                 capture_output=True,
                 text=True,
                 check=True,
@@ -182,7 +196,7 @@ def main() -> None:
 
     try:
         if args.crawl_only:
-            crawl = run_crawl(num_cpus)
+            crawl = run_crawl(num_cpus, tier=args.tier)
             print(
                 json.dumps(
                     {

@@ -29,9 +29,22 @@ import pickle
 from collections import defaultdict
 from heapq import nsmallest
 
+import numpy as np
+import pyarrow as pa
+
 from ..hash import page_id as page_id_of
 from ..state.cuckoo import CuckooFilter
 from .urls import host_of
+
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("count", pa.int64()),
+        ("depth", pa.int32()),
+        ("page_id", pa.int64()),
+        ("url", pa.large_utf8()),
+        ("host_hash", pa.int64()),
+    ]
+)
 
 OPEN, TAKEN, CLOSED, ERROR = "open", "taken", "closed", "error"
 
@@ -130,8 +143,59 @@ class FrontierShard:
                 entries.append((counts[i], d, pid, self.pages[pid][0]))
         return nsmallest(limit, entries)
 
-    def take(self, page_ids: list[int]) -> None:
+    def candidates_table(self, limit: int, max_depth: int) -> pa.Table:
+        """Vectorized ``candidates``: same comparator ((count, depth,
+        page_id) via np.lexsort ≡ nsmallest over tuples), returned as an
+        Arrow table with the cached host hash so the driver's merge,
+        take-routing, and fetcher partitioning are all numpy ops instead
+        of Python tuple churn (the per-wave driver serial path is what
+        caps scaling efficiency)."""
+        counts: list[np.ndarray] = []
+        depths: list[np.ndarray] = []
+        pids: list[np.ndarray] = []
+        urls: list[str] = []
+        hhs: list[np.ndarray] = []
+        if not hasattr(self, "_host_hash"):
+            self._host_hash: dict[str, int] = {}
+        for host, opens in self.open_by_host.items():
+            if not opens:
+                continue
+            eligible = [(d, pid) for pid, d in opens.items() if d <= max_depth]
+            if not eligible:
+                continue
+            eligible.sort()
+            d_arr = np.fromiter((d for d, _ in eligible), np.int32, len(eligible))
+            p_arr = np.fromiter((p for _, p in eligible), np.int64, len(eligible))
+            c_arr = np.searchsorted(d_arr, d_arr, side="right").astype(np.int64)
+            hh = self._host_hash.get(host)
+            if hh is None:
+                hh = self._host_hash[host] = page_id_of(host)
+            counts.append(c_arr)
+            depths.append(d_arr)
+            pids.append(p_arr)
+            urls.extend(self.pages[p][0] for p in p_arr)
+            hhs.append(np.full(len(eligible), hh, np.int64))
+        if not pids:
+            return CANDIDATE_SCHEMA.empty_table()
+        cnt = np.concatenate(counts)
+        dep = np.concatenate(depths)
+        pid = np.concatenate(pids)
+        hh_all = np.concatenate(hhs)
+        order = np.lexsort((pid, dep, cnt))[:limit]
+        url_arr = pa.array(urls, pa.large_utf8()).take(pa.array(order))
+        return pa.table(
+            {
+                "count": pa.array(cnt[order], pa.int64()),
+                "depth": pa.array(dep[order], pa.int32()),
+                "page_id": pa.array(pid[order], pa.int64()),
+                "url": url_arr,
+                "host_hash": pa.array(hh_all[order], pa.int64()),
+            }
+        )
+
+    def take(self, page_ids) -> None:
         for pid in page_ids:
+            pid = int(pid)  # accept numpy arrays from the vectorized path
             rec = self.pages.get(pid)
             if rec is not None and rec[2] == OPEN:
                 rec[2] = TAKEN

@@ -120,6 +120,7 @@ class CrawlJob:
         max_quota: int | None = None,
         enforce_politeness: bool = True,
         checkpoint_every: int = 1,
+        fetch_chunk_rows: int = 256,
     ):
         self.directives_source = directives_source
         self.directives = Directives.from_source(directives_source)
@@ -135,6 +136,7 @@ class CrawlJob:
         self.max_quota = max_quota
         self.enforce_politeness = enforce_politeness
         self.checkpoint_every = checkpoint_every
+        self.fetch_chunk_rows = fetch_chunk_rows
         self.wave_dir = os.path.join(out_dir, wave_name)
         self.ckpt_dir = os.path.join(self.wave_dir, "checkpoint")
 
@@ -158,10 +160,12 @@ class CrawlJob:
             ShardActor.remote(i, self.n_shards) for i in range(self.n_shards)
         ]
         web_ref, robots_ref = self._broadcast_fixture()
-        # Fractional CPU: fetch is latency-simulation-bound, not compute;
-        # this keeps (n_fetchers actors + Dataset map tasks) schedulable
-        # even in a 4-CPU test session.
-        FetchActor = ray.remote(num_cpus=0.5)(FetchStage)
+        # Fractional CPU: fetch is a short per-wave burst (politeness
+        # waits + dict lookups), not sustained compute; a small
+        # reservation keeps (n_fetchers actors + Dataset map tasks)
+        # schedulable in a 4-CPU test session and leaves most cores for
+        # the analyze/decode tasks, which dominate wave CPU.
+        FetchActor = ray.remote(num_cpus=0.25)(FetchStage)
         self.fetchers = [
             FetchActor.remote(
                 web_ref,
@@ -228,17 +232,22 @@ class CrawlJob:
         push = _push_fn(self.shards, self.n_shards)
 
         self._seq = consumed  # global emission counter (crawl-order lineage)
+        self._phase = defaultdict(float)  # wall per phase (perf lineage)
         n_sent = 0
         wave = self._next_wave_index()
         t0 = time.monotonic()
         while remaining_quota - n_sent > 0:
             budget = min(self.batch_size, remaining_quota - n_sent)
+            tp = time.monotonic()
             batch = self._fetch_batch(budget)
-            if not batch:
+            self._phase["candidates"] += time.monotonic() - tp
+            if batch is None:
                 break
             self._run_wave(wave, batch, analyze, push)
-            n_sent += len(batch)
+            n_sent += batch.num_rows
+            tp = time.monotonic()
             ray.get([s.commit_wave.remote(wave) for s in self.shards])
+            self._phase["commit"] += time.monotonic() - tp
             if self.checkpoint_every and wave % self.checkpoint_every == 0:
                 ray.get([s.checkpoint.remote(self.ckpt_dir) for s in self.shards])
                 self._write_manifest(wave, n_sent)
@@ -261,6 +270,7 @@ class CrawlJob:
             "fetched": n_sent,
             "elapsed_sec": elapsed,
             "urls_per_sec": (n_sent / elapsed) if elapsed > 0 else 0.0,
+            "phase_sec": {k: round(v, 2) for k, v in self._phase.items()},
             **{k: int(v) for k, v in counters.items()},
         }
         with open(os.path.join(self.wave_dir, "summary.json"), "w") as f:
@@ -268,47 +278,90 @@ class CrawlJob:
         return summary
 
     def _fetch_batch(self, budget: int):
-        cand_lists = ray.get(
+        """Global top-`budget` under the fetch.sql comparator, as an Arrow
+        table. Shards pre-sort locally (domains never span shards, so the
+        union of shard-local top-B contains the global top-B); the driver
+        merge is one np.lexsort over ≤ n_shards×B rows."""
+        import numpy as np
+
+        tables = ray.get(
             [
-                s.candidates.remote(budget, self.params.max_depth)
+                s.candidates_table.remote(budget, self.params.max_depth)
                 for s in self.shards
             ]
         )
-        merged = nsmallest(budget, (c for lst in cand_lists for c in lst))
-        if not merged:
-            return []
-        by_shard = defaultdict(list)
-        for _cnt, _d, pid, url in merged:
-            by_shard[shard_of(host_of(url), self.n_shards)].append(pid)
-        ray.get([self.shards[s].take.remote(pids) for s, pids in by_shard.items()])
-        return merged
+        nonempty = [tb for tb in tables if tb.num_rows]
+        if not nonempty:
+            return None
+        t = pa.concat_tables(nonempty)
+        cnt = t["count"].to_numpy()
+        dep = t["depth"].to_numpy()
+        pid = t["page_id"].to_numpy()
+        order = np.lexsort((pid, dep, cnt))[:budget]
+        sel = t.take(pa.array(order))
+        hh = sel["host_hash"].to_numpy()
+        pids = sel["page_id"].to_numpy()
+        shard_idx = hh % self.n_shards
+        futures = [
+            self.shards[s].take.remote(pids[shard_idx == s])
+            for s in np.unique(shard_idx)
+        ]
+        ray.get(futures)
+        return sel
 
-    def _run_wave(self, wave: int, batch, analyze, push) -> None:
-        parts: dict[int, dict[str, list]] = defaultdict(
-            lambda: {"url": [], "page_id": [], "depth": [], "seq": []}
+    def _run_wave(self, wave: int, batch: pa.Table, analyze, push) -> None:
+        import numpy as np
+
+        tp = time.monotonic()
+        n = batch.num_rows
+        tbl = pa.table(
+            {
+                "url": batch["url"],
+                "page_id": batch["page_id"],
+                "depth": batch["depth"],
+                "seq": pa.array(
+                    np.arange(self._seq, self._seq + n, dtype=np.int64)
+                ),
+            }
         )
-        for _cnt, depth, pid, url in batch:
-            p = page_id_of(host_of(url)) % self.n_fetchers
-            parts[p]["url"].append(url)
-            parts[p]["page_id"].append(pid)
-            parts[p]["depth"].append(depth)
-            parts[p]["seq"].append(self._seq)
-            self._seq += 1
+        self._seq += n
+        # Host-affine fetcher routing (same key the reference's master
+        # uses, crawler/master.rs:148), fully vectorized: slot = cached
+        # host hash % n_fetchers; grouping via one stable argsort keeps
+        # the comparator order within each fetcher partition.
+        slot = batch["host_hash"].to_numpy() % self.n_fetchers
+        order = np.argsort(slot, kind="stable")
+        bounds = np.flatnonzero(np.diff(slot[order])) + 1
+        # One fetch CALL per ≤chunk_rows slice, all slices of a partition
+        # on the SAME actor (serial per actor → per-host politeness clocks
+        # stay exact) — but each call yields its own Arrow block, so the
+        # analyze stage parallelizes across chunks instead of stalling on
+        # one hot-host mega-block (observed 1.6 s straggler per wave when
+        # the Zipf-hot host was a single block).
         refs = []
-        for p, cols in parts.items():
-            table = pa.table(
-                {
-                    "url": pa.array(cols["url"], pa.large_utf8()),
-                    "page_id": pa.array(cols["page_id"], pa.int64()),
-                    "depth": pa.array(cols["depth"], pa.int32()),
-                    "seq": pa.array(cols["seq"], pa.int64()),
-                }
-            )
-            refs.append(self.fetchers[p].fetch.remote(table))
+        for g in np.split(order, bounds):
+            p = int(slot[g[0]])
+            sub = tbl.take(pa.array(g))
+            for off in range(0, len(g), self.fetch_chunk_rows):
+                refs.append(
+                    self.fetchers[p].fetch.remote(
+                        sub.slice(off, self.fetch_chunk_rows)
+                    )
+                )
+        self._phase["partition"] += time.monotonic() - tp
+        tp = time.monotonic()
+        if os.environ.get("LOPEZ_RAY_WAVE_STATS"):
+            ray.wait(refs, num_returns=len(refs))
+            self._phase["fetch_wait"] += time.monotonic() - tp
+            tp = time.monotonic()
         ds = rd.from_arrow_refs(refs)
         ds = ds.map_batches(analyze, batch_format="pyarrow", batch_size=None)
         ds = ds.map_batches(push, batch_format="pyarrow", batch_size=None)
         ds.write_parquet(os.path.join(self.wave_dir, f"wave={wave:05d}"))
+        self._phase["dataset"] += time.monotonic() - tp
+        if os.environ.get("LOPEZ_RAY_WAVE_STATS"):
+            print(f"--- wave {wave} ({len(batch)} urls) stats ---")
+            print(ds.stats())
 
     # ----- outputs -----
 

