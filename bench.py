@@ -117,7 +117,7 @@ allow "^https://host[0-9]+\\.test/";
 ignore param "utm_source";
 use param *;
 set quota = {quota};
-set max_hits_per_sec = 10000.0;
+set max_hits_per_sec = 100000.0;
 set max_depth = 12;
 select head title {{ title: first(text); }}
 select a {{ n-links: count; }}
@@ -130,7 +130,10 @@ select p[class="caption"] {{ caption: first(text pretty); }}
         corpus_path=paths["corpus"],
         robots_path=paths["robots"],
         out_dir=out_dir,
-        n_shards=8,
+        # frontier shards scale with the session as they would with
+        # cluster nodes (shard routing is pure hashing — the frontier
+        # CONTENT and crawl order are shard-count-independent)
+        n_shards=max(8, num_cpus // 2),
         n_fetchers=max(2, num_cpus),  # 0.25 CPU each → 1/4 of cores fetch
         batch_size=batch_size,
         checkpoint_every=0,
@@ -150,6 +153,7 @@ def main() -> None:
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--tier", default=None)
+    ap.add_argument("--batch-size", type=int, default=16384)
     ap.add_argument("--sf-dir", default=None)
     args = ap.parse_args()
 
@@ -163,11 +167,13 @@ def main() -> None:
         # at the north rule's real scale. Pre-generate the fixture once
         # (it is cached on disk) so neither timed run pays generation.
         results = {}
+        tier = os.environ.get("GRAFT_SCALING_TIER", "bench-xxl")
         for cpus in (8, 32):
             out = subprocess.run(
                 [
                     sys.executable, __file__, "--crawl-only",
-                    "--cpus", str(cpus), "--tier", "bench-xl",
+                    "--cpus", str(cpus), "--tier", tier,
+                    "--batch-size", "262144",
                 ],
                 capture_output=True,
                 text=True,
@@ -196,7 +202,7 @@ def main() -> None:
 
     try:
         if args.crawl_only:
-            crawl = run_crawl(num_cpus, tier=args.tier)
+            crawl = run_crawl(num_cpus, tier=args.tier, batch_size=args.batch_size)
             print(
                 json.dumps(
                     {

@@ -104,7 +104,7 @@ def cmd_test(args) -> int:
         report["report"] = "DisallowedByDirectives"
         print(json.dumps(report, indent=1))
         return 0
-    web = {r["url"]: r for r in pq.read_table(paths["web"]).to_pylist()}
+    web = pq.read_table(paths["web"])
     robots = {
         r["host"]: r["robots_txt"]
         for r in pq.read_table(paths["robots"]).to_pylist()
@@ -112,8 +112,8 @@ def cmd_test(args) -> int:
     }
     params = d.parameters()
     stage = FetchStage(
-        ray.put(web),
-        ray.put(robots),
+        web,
+        robots,
         paths["corpus"],
         max_hits_per_sec=params.max_hits_per_sec,
         request_timeout=params.request_timeout,

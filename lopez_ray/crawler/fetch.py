@@ -52,6 +52,34 @@ def robots_for_host(robots_map: dict, host: str, agent: str) -> RobotExclusion |
     return None
 
 
+def _build_index(table: pa.Table | None, col: str):
+    """(sorted_hashes, row_indices) for hash-searchsorted URL lookup."""
+    if table is None:
+        return None
+    from ..hash import page_ids
+
+    ids = page_ids(table[col].to_pylist())
+    order = np.argsort(ids, kind="stable")
+    return ids[order], order.astype(np.int64)
+
+
+def _resolve_index(x):
+    if x is None:
+        return None
+    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+
+def _lookup(hidx, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized hash → row index; -1 for misses."""
+    if hidx is None or len(hashes) == 0 or len(hidx[0]) == 0:
+        return np.full(len(hashes), -1, dtype=np.int64)
+    sorted_ids, row_idx = hidx
+    pos = np.searchsorted(sorted_ids, hashes)
+    pos = np.minimum(pos, len(sorted_ids) - 1)
+    hit = sorted_ids[pos] == hashes
+    return np.where(hit, row_idx[pos], -1)
+
+
 class FetchStage:
     """Callable class for ``map_batches(..., concurrency=N)``; state
     (robots cache, corpus index, politeness clocks) built once per actor."""
@@ -60,37 +88,62 @@ class FetchStage:
         self,
         web_ref,
         robots_ref,
-        corpus_path: str | None,
+        corpus_ref=None,
         max_hits_per_sec: float = 2.5,
         request_timeout: float = 60.0,
         user_agent: str = "lopez",
         enforce_politeness: bool = True,
+        web_index_ref=None,
+        corpus_index_ref=None,
     ):
-        # Args may arrive as ObjectRefs (when nested in structures) or
-        # already resolved (Ray auto-derefs top-level task/actor args).
+        # The web and corpus fixtures arrive as ObjectRefs to ARROW TABLES
+        # put in plasma ONCE by the driver — every actor on a node then
+        # maps the same shared buffers zero-copy. (An earlier version had
+        # each actor read the corpus parquet privately: at 32 actors ×
+        # 575 MB that was ~20 GB of redundant decompression inside the
+        # timed crawl and made 32 CPUs run SLOWER than 8.) Per-actor state
+        # is only the url→row-index dicts.
         def _resolve(x):
             if x is None:
-                return {}
-            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+                return None
+            if isinstance(x, str):  # path convenience (CLI single-URL mode)
+                x = pq.read_table(x)
+            if isinstance(x, ray.ObjectRef):
+                x = ray.get(x)
+            # take() on multi-chunk tables is pathologically slow; the
+            # driver pre-combines before plasma put (no-op then).
+            if isinstance(x, pa.Table) and any(
+                x[c].num_chunks > 1 for c in x.column_names
+            ):
+                x = x.combine_chunks()
+            return x
 
-        self.web: dict = _resolve(web_ref)
-        self.robots_map: dict = _resolve(robots_ref)
+        self.web: pa.Table = _resolve(web_ref)
+        self.robots_map: dict = _resolve(robots_ref) or {}
         self.agent = user_agent
         self.max_hits_per_sec = max_hits_per_sec
         self.request_timeout = request_timeout
         self.enforce_politeness = enforce_politeness
         self.robots_cache: dict[str, RobotExclusion | None] = {}
         self.last_hit: dict[str, float] = {}
-        if corpus_path:
-            self.corpus = pq.read_table(
-                corpus_path, columns=["image_id", "bytes", "fmt", "w", "h", "caption", "phash"],
-                memory_map=True,
-            )
-            ids = self.corpus["image_id"].to_pylist()
-            self.corpus_index = {u: i for i, u in enumerate(ids)}
-        else:
-            self.corpus = None
-            self.corpus_index = {}
+        self.corpus = _resolve(corpus_ref)
+        # URL → row-index as SORTED HASH ARRAYS, not dicts: a dict of 2M
+        # url strings costs ~400 MB × n_actors; two int64 numpy arrays
+        # cost 32 MB and (when driver-provided via plasma) are shared
+        # zero-copy. Lookup = vectorized page_ids + searchsorted per
+        # batch; 64-bit SipHash collisions are negligible at fixture
+        # scales (and a miss only yields a 404-style not_found row).
+        self.web_hidx = _resolve_index(web_index_ref)
+        if self.web_hidx is None:
+            self.web_hidx = _build_index(self.web, "url")
+        self.corpus_hidx = _resolve_index(corpus_index_ref)
+        if self.corpus_hidx is None:
+            self.corpus_hidx = _build_index(self.corpus, "image_id")
+        self._cap_arr = (
+            self.corpus["caption"].combine_chunks()
+            if self.corpus is not None
+            else None
+        )
 
     def fetch(self, batch: pa.Table) -> pa.Table:
         """Actor-method alias for direct per-partition calls (waves.py)."""
@@ -107,7 +160,15 @@ class FetchStage:
         now = time.monotonic()
         nxt = self.last_hit.get(host, 0.0) + delay
         if nxt > now:
-            time.sleep(nxt - now)
+            # time.sleep() overshoots sub-millisecond waits by ~10×
+            # (timer resolution), which made a hot host with a 0.1 ms
+            # budget pay ~1 ms/URL — sleep only the coarse part and spin
+            # the last millisecond so the enforced delay is exact.
+            wait = nxt - now
+            if wait > 0.002:
+                time.sleep(wait - 0.001)
+            while time.monotonic() < nxt:
+                pass
             now = nxt
         self.last_hit[host] = now
 
@@ -130,7 +191,38 @@ class FetchStage:
             "redirect_to": [],
             "image_row": [],  # corpus row index or -1
         }
-        for url in urls:
+        # Batched row gather: one take() against the shared web table per
+        # batch (the server never sees the fragment; the page keeps its
+        # fragment-bearing identity, like the reference's hyper client).
+        from ..hash import page_ids as _page_ids
+
+        bases = [u.split("#", 1)[0] for u in urls]
+        idxs = _lookup(self.web_hidx, _page_ids(bases)) if bases else []
+        # Hot-host salting: when a host's wave share is split over k
+        # owners, each owner spaces its hits by delay×k, so the host-wide
+        # rate still respects the politeness ceiling (waves.py routing).
+        salts = (
+            batch["salt_k"].to_pylist()
+            if "salt_k" in batch.column_names
+            else [1] * len(urls)
+        )
+        need = sorted({int(i) for i in idxs if i >= 0})
+        rowmap: dict[int, dict] = {}
+        if need:
+            taken_rows = self.web.take(pa.array(need, pa.int64())).to_pylist()
+            rowmap = dict(zip(need, taken_rows))
+        # corpus row per fetched web row, one vectorized hash pass
+        corpus_of: dict[int, int] = {}
+        if rowmap and self.corpus is not None:
+            keys = [i for i, r in rowmap.items() if r["image_id"] is not None]
+            if keys:
+                crows = _lookup(
+                    self.corpus_hidx,
+                    _page_ids([rowmap[i]["image_id"] for i in keys]),
+                )
+                corpus_of = {k: int(c) for k, c in zip(keys, crows) if c >= 0}
+
+        for pos, url in enumerate(urls):
             host = host_of(url)
             robots = self._robots(host)
             if robots is not None and not robots.allows(url):
@@ -141,10 +233,8 @@ class FetchStage:
                 out["image_row"].append(-1)
                 continue
             delay = crawl_delay_for(robots, self.max_hits_per_sec)
-            self._polite_wait(host, delay)
-            # The server never sees the fragment; the page keeps its
-            # fragment-bearing identity (like the reference's hyper client).
-            row = self.web.get(url.split("#", 1)[0])
+            self._polite_wait(host, delay * max(1, salts[pos]))
+            row = rowmap.get(int(idxs[pos]))
             if row is None:
                 out["outcome"].append("not_found")
                 out["status_code"].append(404)
@@ -168,12 +258,8 @@ class FetchStage:
                 out["image_row"].append(-1)
             elif code == 200:
                 image_id = row["image_id"]
-                cap = None
-                if image_id is not None and image_id in self.corpus_index:
-                    idx = self.corpus_index[image_id]
-                    cap = self.corpus["caption"][idx].as_py()
-                else:
-                    idx = -1
+                idx = corpus_of.get(int(idxs[pos]), -1)
+                cap = self._cap_arr[idx].as_py() if idx >= 0 else None
                 html = render_page(url, row["links"], row["canonical"], cap, image_id)
                 out["outcome"].append("success")
                 out["status_code"].append(code)
@@ -210,7 +296,7 @@ class FetchStage:
         n = len(idx)
         if self.corpus is None or not have.any():
             empties = {
-                "bytes": pa.nulls(n, pa.binary()),
+                "bytes": pa.nulls(n, pa.large_binary()),
                 "fmt": pa.nulls(n, pa.string()),
                 "w": pa.nulls(n, pa.int32()),
                 "h": pa.nulls(n, pa.int32()),

@@ -56,25 +56,28 @@ def shard_of(host: str, n_shards: int) -> int:
 class FrontierShard:
     """Plain class; wrapped with ray.remote by the driver (waves.py)."""
 
-    def __init__(self, shard_id: int, n_shards: int, filter_capacity: int = 1 << 20):
+    def __init__(self, shard_id: int, n_shards: int, filter_capacity: int = 1 << 21):
         self.shard_id = shard_id
         self.n_shards = n_shards
-        # page_id -> [url, depth, status, status_code]
+        # page_id -> [url, depth, status, status_code, host]
         self.pages: dict[int, list] = {}
         self.open_by_host: dict[str, dict[int, int]] = defaultdict(dict)
         self.prefilter = CuckooFilter(filter_capacity)
-        self.staged: list[tuple[int, str, int]] = []  # (depth, url, page_id)
+        # (depth, url, page_id, host) deltas staged during the wave
+        self.staged: list[tuple[int, str, int, str]] = []
         self.counters: dict[str, int] = defaultdict(int)
         self.wave_log: list[dict] = []  # per-wave lineage
 
     # ----- seeding / merging -----
 
-    def _insert_new(self, pid: int, url: str, depth: int) -> bool:
+    def _insert_new(self, pid: int, url: str, depth: int, host: str | None = None) -> bool:
         if pid in self.pages:
             self.counters["deduped"] += 1
             return False
-        self.pages[pid] = [url, depth, OPEN, None]
-        self.open_by_host[host_of(url)][pid] = depth
+        if host is None:
+            host = host_of(url)
+        self.pages[pid] = [url, depth, OPEN, None, host]
+        self.open_by_host[host][pid] = depth
         self.prefilter.add_hash(pid & 0xFFFFFFFFFFFFFFFF)
         self.counters["discovered"] += 1
         return True
@@ -87,16 +90,34 @@ class FrontierShard:
         return n
 
     def stage(self, rows: list[tuple[str, int]]) -> None:
-        """Stage (url, depth) link deltas from in-flight wave tasks. The
-        cuckoo prefilter answers definite-new without touching the exact
-        store; maybes are resolved at commit."""
-        for url, depth in rows:
-            pid = page_id_of(url)
-            if self.prefilter.contains_hash(pid & 0xFFFFFFFFFFFFFFFF):
-                if pid in self.pages:  # resolve maybe via exact store
-                    self.counters["deduped"] += 1
-                    continue
-            self.staged.append((depth, url, pid))
+        """Stage (url, depth) link deltas (scalar tuple path, kept for
+        tests/small callers; hashes computed here)."""
+        if not rows:
+            return
+        urls = [u for u, _ in rows]
+        depths = np.fromiter((d for _, d in rows), np.int64, len(rows))
+        from ..hash import page_ids
+
+        self.stage_batch(urls, depths, page_ids(urls), None)
+
+    def stage_batch(self, urls: list[str], depths, pids, hosts) -> None:
+        """Vectorized staging: pids precomputed by the push stage (one
+        numpy SipHash pass per wave batch instead of a Python hash per
+        link), definite-new answered by the cuckoo filter in bulk."""
+        pids = np.asarray(pids, np.int64)
+        maybe = self.prefilter.contains_many(pids.view(np.uint64))
+        pages = self.pages
+        staged = self.staged
+        dup = 0
+        for k in range(len(urls)):
+            pid = int(pids[k])
+            if maybe[k] and pid in pages:
+                dup += 1
+                continue
+            staged.append(
+                (int(depths[k]), urls[k], pid, hosts[k] if hosts is not None else None)
+            )
+        self.counters["deduped"] += dup
 
     def commit_wave(self, wave: int) -> dict:
         """Apply staged deltas deterministically: sorted by (depth,
@@ -104,8 +125,8 @@ class FrontierShard:
         `on conflict do nothing` semantics)."""
         self.staged.sort(key=lambda t: (t[0], t[2]))
         added = 0
-        for depth, url, pid in self.staged:
-            if self._insert_new(pid, url, depth):
+        for depth, url, pid, host in self.staged:
+            if self._insert_new(pid, url, depth, host):
                 added += 1
         self.staged.clear()
         entry = {
@@ -199,7 +220,7 @@ class FrontierShard:
             rec = self.pages.get(pid)
             if rec is not None and rec[2] == OPEN:
                 rec[2] = TAKEN
-                self.open_by_host[host_of(rec[0])].pop(pid, None)
+                self.open_by_host[rec[4]].pop(pid, None)
 
     # ----- completion -----
 
@@ -236,7 +257,7 @@ class FrontierShard:
         for pid, rec in self.pages.items():
             if rec[2] in (TAKEN, ERROR):
                 rec[2] = OPEN
-                self.open_by_host[host_of(rec[0])][pid] = rec[1]
+                self.open_by_host[rec[4]][pid] = rec[1]
                 n += 1
         return n
 

@@ -96,6 +96,27 @@ def host_of(url: str) -> str:
     return (urlsplit(url).hostname or "").lower()
 
 
+_HOST_BATCH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?(?P<host>[^/?#:]+)"
+
+
+def hosts_of_batch(urls) -> list[str]:
+    """Vectorized ``host_of`` for a pyarrow string array of canonical
+    absolute URLs (one regex kernel instead of a urlsplit per row); any
+    row the kernel can't parse falls back to the scalar path so the two
+    always agree."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    matched = pc.extract_regex(urls, _HOST_BATCH_RE)
+    hosts = pc.utf8_lower(pc.struct_field(matched, "host")).to_pylist()
+    if any(h is None for h in hosts):
+        raw = urls.to_pylist()
+        hosts = [h if h is not None else host_of(u) for h, u in zip(hosts, raw)]
+    return hosts
+
+
 def origin_of(url: str) -> tuple[str, str, int]:
     """(scheme, host, effective-port) — the politeness/robots scope
     (url::Origin in origins.rs)."""

@@ -39,8 +39,6 @@ import json
 import os
 import time
 from collections import defaultdict
-from heapq import nsmallest
-
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -48,7 +46,6 @@ import ray
 import ray.data as rd
 
 from ..dsl.directives import Directives
-from ..hash import page_id as page_id_of
 from .analyze import AnalyzeStage
 from .fetch import FetchStage
 from .frontier import FrontierShard, shard_of
@@ -72,35 +69,70 @@ def _analyze_fn(directives_source: str):
 def _push_fn(shard_handles: list, n_shards: int):
     """Final stage: push link deltas + completions to the owning shards.
     Synchronous (ray.get) so that full stream consumption implies all
-    frontier messages have landed before the wave barrier."""
+    frontier messages have landed before the wave barrier.
+
+    Everything is vectorized: link page-ids are one numpy SipHash pass,
+    hosts one regex kernel, shard routing one modulo + argsort — the
+    shards receive precomputed hashes so their serial work is dict/list
+    ops only (a Python hash per link serialized the shards at xxl
+    scale)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..hash import page_ids
+    from .urls import hosts_of_batch
 
     def fn(batch: pa.Table) -> pa.Table:
-        deltas: dict[int, list] = defaultdict(list)
-        completions: dict[int, list] = defaultdict(list)
-        urls = batch["url"].to_pylist()
-        pids = batch["page_id"].to_pylist()
-        depths = batch["depth"].to_pylist()
-        statuses = batch["final_status"].to_pylist()
-        codes = batch["status_code"].to_pylist()
-        links = batch["link_urls"].to_pylist()
-        outcomes = batch["outcome"].to_pylist()
-        for i, url in enumerate(urls):
-            completions[shard_of(host_of(url), n_shards)].append(
-                (pids[i], statuses[i], codes[i], outcomes[i])
-            )
-            for link in links[i]:
-                deltas[shard_of(host_of(link), n_shards)].append(
-                    (link, depths[i] + 1)
+        n = batch.num_rows
+        futures = []
+        if n:
+            page_hosts = hosts_of_batch(batch["url"])
+            page_shards = page_ids(page_hosts) % n_shards
+            pids = batch["page_id"].to_pylist()
+            statuses = batch["final_status"].to_pylist()
+            codes = batch["status_code"].to_pylist()
+            outcomes = batch["outcome"].to_pylist()
+            completions: dict[int, list] = defaultdict(list)
+            for i in range(n):
+                completions[int(page_shards[i])].append(
+                    (pids[i], statuses[i], codes[i], outcomes[i])
                 )
-        futures = [
-            shard_handles[s].stage.remote(rows) for s, rows in deltas.items()
-        ] + [
-            shard_handles[s].complete.remote(rows)
-            for s, rows in completions.items()
-        ]
-        ray.get(futures)
+
+            links_col = batch["link_urls"]
+            if isinstance(links_col, pa.ChunkedArray):
+                links_col = links_col.combine_chunks()
+            flat = pc.list_flatten(links_col)
+            link_urls = flat.to_pylist()
+            if link_urls:
+                counts = pc.list_value_length(links_col).to_numpy(
+                    zero_copy_only=False
+                )
+                depths = batch["depth"].to_numpy()
+                link_depths = np.repeat(depths + 1, counts)
+                link_pids = page_ids(link_urls)
+                link_hosts = hosts_of_batch(flat)
+                link_shards = page_ids(link_hosts) % n_shards
+                order = np.argsort(link_shards, kind="stable")
+                bounds = np.flatnonzero(np.diff(link_shards[order])) + 1
+                for grp in np.split(order, bounds):
+                    s = int(link_shards[grp[0]])
+                    futures.append(
+                        shard_handles[s].stage_batch.remote(
+                            [link_urls[i] for i in grp],
+                            link_depths[grp],
+                            link_pids[grp],
+                            [link_hosts[i] for i in grp],
+                        )
+                    )
+            futures += [
+                shard_handles[s].complete.remote(rows)
+                for s, rows in completions.items()
+            ]
+            ray.get(futures)
         # Payload bytes end here: drop before the write stage.
-        return batch.drop_columns([c for c in ("html", "bytes") if c in batch.column_names])
+        return batch.drop_columns(
+            [c for c in ("html", "bytes") if c in batch.column_names]
+        )
 
     return fn
 
@@ -121,6 +153,7 @@ class CrawlJob:
         enforce_politeness: bool = True,
         checkpoint_every: int = 1,
         fetch_chunk_rows: int = 256,
+        salt_threshold: int = 512,
     ):
         self.directives_source = directives_source
         self.directives = Directives.from_source(directives_source)
@@ -137,29 +170,71 @@ class CrawlJob:
         self.enforce_politeness = enforce_politeness
         self.checkpoint_every = checkpoint_every
         self.fetch_chunk_rows = fetch_chunk_rows
+        self.salt_threshold = salt_threshold
         self.wave_dir = os.path.join(out_dir, wave_name)
         self.ckpt_dir = os.path.join(self.wave_dir, "checkpoint")
 
     # ----- setup -----
 
     def _broadcast_fixture(self):
-        web = pq.read_table(self.web_path)
-        web_map = {}
-        for row in web.to_pylist():
-            web_map[row["url"]] = row
+        """Read each fixture table ONCE and put the Arrow tables in the
+        object store; every fetch actor maps the same plasma buffers
+        zero-copy (never ship per-actor copies, never re-read parquet
+        per actor — ray_guide broadcast pattern)."""
+        # combine_chunks before put: pa.Table.take on a multi-chunk table
+        # with a large binary column is ~400× slower than on a single
+        # chunk (measured 0.45 s vs 1 ms for 256 rows of the xl corpus),
+        # and take is the fetch hot path.
+        from .fetch import _build_index
+
+        web = pq.read_table(self.web_path).combine_chunks()
         robots_map = {}
         if self.robots_path and os.path.exists(self.robots_path):
             for row in pq.read_table(self.robots_path).to_pylist():
                 if row["robots_txt"] is not None:
                     robots_map[row["host"]] = row["robots_txt"]
-        return ray.put(web_map), ray.put(robots_map)
+        corpus_ref = None
+        corpus = None
+        if self.corpus_path:
+            corpus = pq.read_table(
+                self.corpus_path,
+                columns=["image_id", "bytes", "fmt", "w", "h", "caption", "phash"],
+            )
+            # 64-bit offsets: the xxl corpus payload column exceeds 2 GB,
+            # which overflows binary's 32-bit offsets on combine/take.
+            corpus = corpus.set_column(
+                corpus.column_names.index("bytes"),
+                "bytes",
+                corpus["bytes"].cast(pa.large_binary()),
+            )
+            corpus = corpus.combine_chunks()
+            corpus_ref = ray.put(corpus)
+        # hash indexes computed ONCE on the driver, shared via plasma
+        # (numpy arrays → zero-copy for every actor)
+        web_index_ref = ray.put(_build_index(web, "url"))
+        corpus_index_ref = (
+            ray.put(_build_index(corpus, "image_id")) if corpus is not None else None
+        )
+        return (
+            ray.put(web),
+            ray.put(robots_map),
+            corpus_ref,
+            web_index_ref,
+            corpus_index_ref,
+        )
 
     def _spawn(self):
         ShardActor = ray.remote(num_cpus=0)(FrontierShard)
         self.shards = [
             ShardActor.remote(i, self.n_shards) for i in range(self.n_shards)
         ]
-        web_ref, robots_ref = self._broadcast_fixture()
+        (
+            web_ref,
+            robots_ref,
+            corpus_ref,
+            web_index_ref,
+            corpus_index_ref,
+        ) = self._broadcast_fixture()
         # Fractional CPU: fetch is a short per-wave burst (politeness
         # waits + dict lookups), not sustained compute; a small
         # reservation keeps (n_fetchers actors + Dataset map tasks)
@@ -170,11 +245,13 @@ class CrawlJob:
             FetchActor.remote(
                 web_ref,
                 robots_ref,
-                self.corpus_path,
+                corpus_ref,
                 max_hits_per_sec=self.params.max_hits_per_sec,
                 request_timeout=self.params.request_timeout,
                 user_agent="lopez",
                 enforce_politeness=self.enforce_politeness,
+                web_index_ref=web_index_ref,
+                corpus_index_ref=corpus_index_ref,
             )
             for _ in range(self.n_fetchers)
         ]
@@ -329,7 +406,24 @@ class CrawlJob:
         # uses, crawler/master.rs:148), fully vectorized: slot = cached
         # host hash % n_fetchers; grouping via one stable argsort keeps
         # the comparator order within each fetcher partition.
-        slot = batch["host_hash"].to_numpy() % self.n_fetchers
+        #
+        # Hot-host salting (north rule / SURVEY §4): a host whose wave
+        # share exceeds salt_threshold rows would serialize on one actor,
+        # so its rows are spread over k = ceil(count/threshold) salted
+        # slots (k ≤ n_fetchers); each salted owner enforces delay×k so
+        # the aggregate per-host politeness rate still honors the global
+        # ceiling. salt is page_id-derived → deterministic.
+        hh = batch["host_hash"].to_numpy()
+        pid = batch["page_id"].to_numpy()
+        uniq, inv, cnts = np.unique(hh, return_inverse=True, return_counts=True)
+        k_per_host = np.minimum(
+            np.ceil(cnts / self.salt_threshold).astype(np.int64),
+            self.n_fetchers,
+        )
+        k_row = k_per_host[inv]
+        salt = np.where(k_row > 1, pid % k_row, 0)
+        slot = (hh + salt) % self.n_fetchers
+        tbl = tbl.append_column("salt_k", pa.array(k_row, pa.int32()))
         order = np.argsort(slot, kind="stable")
         bounds = np.flatnonzero(np.diff(slot[order])) + 1
         # One fetch CALL per ≤chunk_rows slice, all slices of a partition
@@ -338,16 +432,16 @@ class CrawlJob:
         # analyze stage parallelizes across chunks instead of stalling on
         # one hot-host mega-block (observed 1.6 s straggler per wave when
         # the Zipf-hot host was a single block).
+        # Adaptive chunk: small waves split fine for parallelism; huge
+        # waves cap total call/task count at ~8 chunks per fetcher so
+        # scheduler dispatch doesn't become the serial bottleneck.
+        chunk = max(self.fetch_chunk_rows, n // (8 * self.n_fetchers) + 1)
         refs = []
         for g in np.split(order, bounds):
             p = int(slot[g[0]])
             sub = tbl.take(pa.array(g))
-            for off in range(0, len(g), self.fetch_chunk_rows):
-                refs.append(
-                    self.fetchers[p].fetch.remote(
-                        sub.slice(off, self.fetch_chunk_rows)
-                    )
-                )
+            for off in range(0, len(g), chunk):
+                refs.append(self.fetchers[p].fetch.remote(sub.slice(off, chunk)))
         self._phase["partition"] += time.monotonic() - tp
         tp = time.monotonic()
         if os.environ.get("LOPEZ_RAY_WAVE_STATS"):

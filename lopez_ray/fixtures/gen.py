@@ -37,11 +37,13 @@ TIERS = {
     "t1": {"pages": 200, "hosts": 4},
     "t2": {"pages": 2000, "hosts": 10},
     "bench": {"pages": 50000, "hosts": 50},
-    # scaling-efficiency tier: enough per-wave parallel work (≥60 CPU-s)
-    # that the fixed per-wave barrier cost stops dominating — the honest
-    # stand-in for the north rule's 10^10-frontier regime where waves are
-    # millions of rows.
+    # scaling-efficiency tiers: enough per-wave parallel work that the
+    # fixed per-wave barrier cost stops dominating — the honest stand-in
+    # for the north rule's 10^10-frontier regime where waves are millions
+    # of rows.
     "bench-xl": {"pages": 200000, "hosts": 100},
+    "bench-xxl": {"pages": 1000000, "hosts": 200},
+    "bench-2m": {"pages": 2000000, "hosts": 400},
 }
 
 _WORDS = (
@@ -141,8 +143,9 @@ def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
     status[(roll >= 0.05) & (roll < 0.12)] = 404
     status[(roll >= 0.12) & (roll < 0.15)] = 500
     # seeds (page 0 of each host) always fetchable
+    url_idx = {u: i for i, u in enumerate(urls)}
     for hi, host in enumerate(hosts):
-        status[urls.index(f"https://{host}/p/0")] = 200
+        status[url_idx[f"https://{host}/p/0"]] = 200
 
     latency = _rng(seed, "latency").integers(5, 200, size=n).astype(np.int32)
     slow = _rng(seed, "slow").random(n) < 0.01

@@ -642,6 +642,87 @@ def q_crawl_pagerank(sf_dir: str):
     )
 
 
+def q_analyze_rules(sf_dir: str):
+    """The lopez select-rule surface end-to-end as its own query: render
+    the t1 fixture pages, run the AnalyzeStage (extractors → transformers
+    → aggregators per SURVEY §2.1-2.3) as stateless map_batches tasks,
+    return the typed rule columns."""
+    import ray.data as rd
+
+    from ..crawler.analyze import AnalyzeStage
+    from ..fixtures.gen import generate, render_page
+
+    paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
+    corpus = rd.read_parquet(paths["corpus"], columns=["image_id", "caption"])
+    capmap = {}
+    for b in corpus.iter_batches(batch_format="pyarrow"):
+        capmap.update(zip(b["image_id"].to_pylist(), b["caption"].to_pylist()))
+    import ray
+
+    cap_ref = ray.put(capmap)
+
+    rules = """
+seed "https://host0.test/p/0";
+allow "^https://host[0-9]+\\.test/";
+use param *;
+select head title { title: first(text); }
+select a { n-links: count; distinct-links: distinct(attr "href") length; }
+select p[class="caption"] { caption: first(text pretty); cap-words: first(text) capture "(?P<w>[a-z]+)$" get "w"; }
+"""
+
+    def render(b: pa.Table) -> pa.Table:
+        caps = ray.get(cap_ref)
+        htmls, urls = [], []
+        for row in b.to_pylist():
+            if row["status_code"] != 200:
+                continue
+            urls.append(row["url"])
+            htmls.append(
+                render_page(
+                    row["url"], row["links"], row["canonical"],
+                    caps.get(row["image_id"]), row["image_id"],
+                )
+            )
+        n = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.large_utf8()),
+                "page_id": pa.array([0] * n, pa.int64()),
+                "depth": pa.array([0] * n, pa.int32()),
+                "seq": pa.array(range(n), pa.int64()),
+                "outcome": pa.array(["success"] * n),
+                "status_code": pa.array([200] * n, pa.int32()),
+                "html": pa.array(htmls, pa.large_utf8()),
+                "redirect_to": pa.nulls(n, pa.string()),
+                "image_row": pa.array([-1] * n, pa.int32()),
+                "bytes": pa.nulls(n, pa.binary()),
+                "fmt": pa.nulls(n, pa.string()),
+                "w": pa.nulls(n, pa.int32()),
+                "h": pa.nulls(n, pa.int32()),
+                "caption": pa.nulls(n, pa.string()),
+                "phash": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    _cache: dict[str, AnalyzeStage] = {}
+
+    def analyze(b: pa.Table) -> pa.Table:
+        stage = _cache.get("s")
+        if stage is None:
+            stage = _cache["s"] = AnalyzeStage(rules)
+        out = stage(b)
+        return out.select(
+            ["url", "rule.title", "rule.n-links", "rule.distinct-links",
+             "rule.caption", "rule.cap-words"]
+        )
+
+    return (
+        rd.read_parquet(paths["web"])
+        .map_batches(render, batch_format="pyarrow")
+        .map_batches(analyze, batch_format="pyarrow")
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Image decode/resize/feature pipeline over the t1 corpus."""
     import ray.data as rd
@@ -696,6 +777,7 @@ QUERIES = {
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
     "multimodal_decode": q_multimodal_decode,
+    "analyze_rules": q_analyze_rules,
 }
 
 ORACLES = {

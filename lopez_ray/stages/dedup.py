@@ -147,12 +147,20 @@ class MinHasher:
 
 
 def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
-    """Dataset of candidate pairs (a, b) with a < b from LSH banding."""
-    import pandas as pd
+    """Dataset of candidate pairs (a, b) with a < b from LSH banding.
+
+    Almost every band bucket is a singleton, so running a per-group UDF
+    over all buckets is ~|docs|×bands tiny pandas groups (observed ~60 s
+    at 50k docs). Instead: (1) vectorized count per (band, band_hash),
+    (2) keep buckets with >= 2 members — that survivor set is
+    O(duplicate clusters), tiny — (3) broadcast it and semi-join the
+    banded rows down to survivors, (4) pair only within those buckets.
+    At corpus scale step 3 becomes a hash-partitioned semi-join keyed on
+    band_hash (same shuffle key as the bucket groupby)."""
+    import ray
+    from ray.data.aggregate import Count
 
     if concurrency is None:
-        import ray
-
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         concurrency = max(2, min(24, cpus // 2))
     id_col = kwargs.get("id_col", "doc_id")
@@ -162,20 +170,46 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    # Consumed twice (bucket counts + survivor filter); the banded table
+    # is (id, band, band_hash) — ~24 B/row — so pinning it in the object
+    # store beats recomputing the signatures.
+    banded = banded.materialize()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    counts = banded.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="n")
+    )
+    dup_keys = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(dup_keys) == 0:
+        return None
+    key_set = set(zip(dup_keys["band"], dup_keys["band_hash"]))
+    key_ref = ray.put(key_set)
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        bands = batch["band"].to_pylist()
+        hashes = batch["band_hash"].to_pylist()
+        mask = pa.array([(b, h) in keys for b, h in zip(bands, hashes)])
+        return batch.filter(mask)
+
+    survivors = banded.map_batches(keep_survivors, batch_format="pyarrow")
+
+    def bucket_pairs(g):
+        import pandas as pd
+
         ids = sorted(g[id_col].tolist())
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         if not pairs:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
         return pd.DataFrame(pairs, columns=["a", "b"])
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+    pairs = survivors.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
     # distinct pairs (a bucket collision in several bands duplicates pairs)
-    from ray.data.aggregate import Count
-
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
 
@@ -206,6 +240,14 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
             texts[i] = t
     texts_ref = ray.put(texts)
     cands = minhash_candidates(ds, **kwargs)
+    if cands is None:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
 
     def verify(batch: pa.Table) -> pa.Table:
         lookup = ray.get(texts_ref)

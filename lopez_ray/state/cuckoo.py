@@ -74,12 +74,21 @@ class CuckooFilter:
                 return True
         return False
 
-    # numpy bulk path used by the frontier merge
+    # numpy bulk path used by the frontier merge (vectorized mirror of
+    # contains_hash — identical fingerprint/index math, no Python loop)
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(hashes), dtype=bool)
-        for k, h in enumerate(hashes):
-            out[k] = self.contains_hash(int(h))
-        return out
+        h = np.asarray(hashes).astype(np.uint64, copy=False)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = ((h >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)
+        fp[fp == _EMPTY] = 1
+        mask = np.int64(self.n_buckets - 1)
+        i1 = (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        i2 = (i1 ^ (fp * 0x5BD1E995)) & mask
+        fp16 = fp.astype(np.uint16)[:, None]
+        return (self.table[i1] == fp16).any(axis=1) | (
+            self.table[i2] == fp16
+        ).any(axis=1)
 
     def state(self) -> dict:
         return {"table": self.table, "count": self.count, "n_buckets": self.n_buckets}

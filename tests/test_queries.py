@@ -94,7 +94,7 @@ def test_query_vs_oracle(entry_mod, oracle_con, sf_dir, name):
     "name",
     [
         "siphash", "pretty", "langid", "quality", "fingerprint", "simhash",
-        "embedding_dups", "ann_ivf", "multimodal_decode",
+        "embedding_dups", "ann_ivf", "multimodal_decode", "analyze_rules",
     ],
 )
 def test_rows_only_queries(entry_mod, sf_dir, name):
