@@ -215,3 +215,70 @@ def test_module_super_root_paths(tmp_path):
     d = Directives.load(str(tmp_path / "main.lcd"))
     assert set(d.modules) == {"", "pkg", "other"}
     assert set(d.rule_types()) == {"other.n"}
+
+
+# ---- politeness salting (waves.py routing + fetch.py delay scaling) ----
+
+
+def test_salted_politeness_preserves_host_rate():
+    """A salted owner spaces hits by delay*k, so k owners together still
+    respect the per-host ceiling (1/max_hits_per_sec)."""
+    import time
+
+    import pyarrow as pa
+
+    from lopez_ray.crawler.fetch import FetchStage
+
+    web = pa.table(
+        {
+            "url": pa.array([f"https://a.test/p/{i}" for i in range(8)]),
+            "host": pa.array(["a.test"] * 8),
+            "status_code": pa.array([200] * 8, pa.int32()),
+            "redirect_to": pa.array([None] * 8, pa.string()),
+            "links": pa.array([[]] * 8, pa.list_(pa.string())),
+            "canonical": pa.array([None] * 8, pa.string()),
+            "image_id": pa.array([None] * 8, pa.string()),
+            "latency_ms": pa.array([1] * 8, pa.int32()),
+        }
+    )
+    stage = FetchStage(web, {}, None, max_hits_per_sec=100.0)  # delay 10ms
+    k = 4
+    batch = pa.table(
+        {
+            "url": web["url"],
+            "page_id": pa.array(range(8), pa.int64()),
+            "depth": pa.array([0] * 8, pa.int32()),
+            "seq": pa.array(range(8), pa.int64()),
+            "salt_k": pa.array([k] * 8, pa.int32()),
+        }
+    )
+    t0 = time.monotonic()
+    out = stage(batch)
+    elapsed = time.monotonic() - t0
+    # 8 URLs spaced by delay*k = 40ms → ≥ 7×0.04 s on this single owner;
+    # k owners in parallel would emit 8k URLs in the same wall time →
+    # aggregate host rate ≤ k/(delay*k) = max_hits_per_sec. (Small unit
+    # margin for timer slop.)
+    assert elapsed >= 7 * (k / 100.0) * 0.9
+    assert out.num_rows == 8 and set(out["outcome"].to_pylist()) == {"success"}
+
+
+def test_salting_assignment_deterministic_and_bounded():
+    """waves.py salting: k grows with per-host wave share, salt derived
+    from page_id — deterministic across runs."""
+    import numpy as np
+
+    n_fetchers, threshold = 8, 4
+    hh = np.array([1] * 20 + [2] * 3, dtype=np.int64)
+    pid = np.arange(23, dtype=np.int64)
+    uniq, inv, cnts = np.unique(hh, return_inverse=True, return_counts=True)
+    k_per_host = np.minimum(
+        np.ceil(cnts / threshold).astype(np.int64), n_fetchers
+    )
+    k_row = k_per_host[inv]
+    salt = np.where(k_row > 1, pid % k_row, 0)
+    slot = (hh + salt) % n_fetchers
+    # hot host (20 rows) spreads over 5 slots; cold host stays on one
+    assert k_per_host[0] == 5 and k_per_host[1] == 1
+    assert len(set(slot[hh == 1])) == 5
+    assert len(set(slot[hh == 2])) == 1
