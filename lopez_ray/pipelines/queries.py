@@ -421,6 +421,71 @@ group by r.r_name
 """
 
 
+def q_top_orders(sf_dir: str):
+    """Global top-k: distributed sort + limit (the only all-to-all sort
+    in the registry; limit pushes down so only leading blocks
+    materialize)."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_totalprice": pc.round(b["o_totalprice"], ndigits=6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS = """
+select o_orderkey, o_custkey, round(o_totalprice, 6) as o_totalprice
+from orders order by o_totalprice desc, o_orderkey limit 10
+"""
+
+
+def q_parts_by_brand(sf_dir: str):
+    """part-table aggregate: partial per-batch pre-agg then small
+    groupby; avg derived from sums."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"p_brand": b["p_brand"], "price": b["p_retailprice"]})
+        return t.group_by("p_brand").aggregate([("price", "sum"), ("price", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("price_sum", alias_name="_total"),
+            Sum("price_count", alias_name="n_parts"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_parts"].cast(pa.float64())
+        return pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "n_parts": b["n_parts"].cast(pa.int64()),
+                "avg_retail": pc.round(pc.divide(b["_total"], n), ndigits=6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PARTS_BY_BRAND = """
+select p_brand, count(*) as n_parts,
+       round(sum(p_retailprice) / count(*), 6) as avg_retail
+from part group by p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -765,6 +830,8 @@ QUERIES = {
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "suppliers_per_region": q_suppliers_per_region,
+    "top_orders": q_top_orders,
+    "parts_by_brand": q_parts_by_brand,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_norms": q_embedding_norms,
     "langid": q_langid,
@@ -791,6 +858,8 @@ ORACLES = {
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "suppliers_per_region": SQL_SUPPLIERS_PER_REGION,
+    "top_orders": SQL_TOP_ORDERS,
+    "parts_by_brand": SQL_PARTS_BY_BRAND,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "embedding_norms": SQL_EMBEDDING_NORMS,
 }

@@ -77,7 +77,7 @@ def test_entry_smoke(entry_mod):
         "doc_stats", "lang_counts", "dedup_exact", "capture", "matches_replace",
         "events_window", "events_sessions", "lineitem_pricing",
         "orders_by_segment", "suppliers_per_region", "ann_bruteforce",
-        "embedding_norms",
+        "embedding_norms", "top_orders", "parts_by_brand",
     ],
 )
 def test_query_vs_oracle(entry_mod, oracle_con, sf_dir, name):
