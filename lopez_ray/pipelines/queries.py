@@ -4,8 +4,11 @@ SURVEY.md §2 plus the training-data ops, each as a callable(sf_dir) with
 
 Conventions for the driver's order-insensitive value-hash compare:
 - every aggregate/computed column is named identically in Ray and SQL;
-- float columns are rounded to 6 (aggregates) or 4 (cosines) decimals on
-  BOTH sides so accumulation-order noise can't flip the hash;
+- float columns are rounded on BOTH sides so accumulation-order noise
+  can't flip the hash; the precision is magnitude-aware (2dp for money
+  sums reaching ~1e9 where f64 noise ~1e-6 breaks 6dp; 6dp for small
+  aggregates; 4dp for cosines) and averages that can land on rounding
+  ties (half-even vs half-away) are avoided in favor of sums;
 - the oracle tables are the driver-registered views region/nation/...
 
 Scale notes are inline: partial per-batch pre-aggregation before every
@@ -317,9 +320,11 @@ def q_lineitem_pricing(sf_dir: str):
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "sum_qty": pc.round(b["sum_qty"], ndigits=6),
-                "sum_base_price": pc.round(b["sum_base_price"], ndigits=6),
-                "sum_disc_price": pc.round(b["sum_disc_price"], ndigits=6),
+                # 2dp: these sums reach ~5e8 at sf0.01, where f64
+                # accumulation-order noise (~1e-6) flips a 6dp rounding
+                "sum_qty": pc.round(b["sum_qty"], ndigits=2),
+                "sum_base_price": pc.round(b["sum_base_price"], ndigits=2),
+                "sum_disc_price": pc.round(b["sum_disc_price"], ndigits=2),
                 "avg_disc": pc.round(pc.divide(b["_sum_disc"], n), ndigits=6),
                 "count_order": b["count_order"].cast(pa.int64()),
             }
@@ -330,9 +335,9 @@ def q_lineitem_pricing(sf_dir: str):
 
 SQL_LINEITEM_PRICING = """
 select l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) as sum_qty,
-       round(sum(l_extendedprice), 6) as sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) as sum_disc_price,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
        round(sum(l_discount) / count(*), 6) as avg_disc,
        count(*) as count_order
 from lineitem group by l_returnflag, l_linestatus
@@ -373,7 +378,7 @@ def q_orders_by_segment(sf_dir: str):
             {
                 "c_mktsegment": b["c_mktsegment"],
                 "n_orders": b["n_orders"].cast(pa.int64()),
-                "total_price": pc.round(b["total_price"], ndigits=6),
+                "total_price": pc.round(b["total_price"], ndigits=2),
             }
         )
 
@@ -382,7 +387,7 @@ def q_orders_by_segment(sf_dir: str):
 
 SQL_ORDERS_BY_SEGMENT = """
 select c.c_mktsegment, count(*) as n_orders,
-       round(sum(o.o_totalprice), 6) as total_price
+       round(sum(o.o_totalprice), 2) as total_price
 from orders o join customer c on o.o_custkey = c.c_custkey
 group by c.c_mktsegment
 """
@@ -467,12 +472,14 @@ def q_parts_by_brand(sf_dir: str):
     )
 
     def finish(b: pa.Table) -> pa.Table:
-        n = b["n_parts"].cast(pa.float64())
         return pa.table(
             {
                 "p_brand": b["p_brand"],
                 "n_parts": b["n_parts"].cast(pa.int64()),
-                "avg_retail": pc.round(pc.divide(b["_total"], n), ndigits=6),
+                # 2dp sum, not a 6dp avg: an average can land exactly on
+                # a rounding tie, where pyarrow (half-to-even) and DuckDB
+                # (half-away-from-zero) disagree in the last digit
+                "total_retail": pc.round(b["_total"], ndigits=2),
             }
         )
 
@@ -481,7 +488,7 @@ def q_parts_by_brand(sf_dir: str):
 
 SQL_PARTS_BY_BRAND = """
 select p_brand, count(*) as n_parts,
-       round(sum(p_retailprice) / count(*), 6) as avg_retail
+       round(sum(p_retailprice), 2) as total_retail
 from part group by p_brand
 """
 
