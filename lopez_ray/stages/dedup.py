@@ -226,44 +226,67 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
     Returns a pa.Table (a, b, jaccard) with jaccard >= threshold.
 
-    The verify side uses a broadcast {doc_id: text} map (fine at fixture
-    scale; the corpus-scale path replaces this with a doc_id-partitioned
-    join, as documented in the module header)."""
+    Verify never materializes the corpus on the driver: the candidate
+    PAIR set is tiny (O(duplicate clusters)), so its doc-id set is
+    broadcast and a semi-join ``map_batches`` filter pulls just the
+    candidate texts out of the streaming corpus; only those reach the
+    driver. At extreme scale the same shape becomes a hash-partitioned
+    join keyed on doc_id."""
     import ray
 
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
     k = kwargs.get("k", 3)
-    texts = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            texts[i] = t
-    texts_ref = ray.put(texts)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
     cands = minhash_candidates(ds, **kwargs)
     if cands is None:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
+        return empty
+    pairs = cands.to_pandas()  # tiny: one row per candidate pair
+    if len(pairs) == 0:
+        return empty
+    cand_ids = set(pairs["a"]) | set(pairs["b"])
+    ids_ref = ray.put(cand_ids)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        a = batch["a"].to_pylist()
-        b_ = batch["b"].to_pylist()
-        jac = [jaccard(lookup[x] or "", lookup[y] or "", k) for x, y in zip(a, b_)]
-        t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+    def pull_texts(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
 
-    out = cands.map_batches(verify, batch_format="pyarrow")
-    tables = [ray.get(r) for r in out.to_arrow_refs()]
-    tbl = pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
-    return (
-        tbl.sort_by([("a", "ascending"), ("b", "ascending")])
-        .select(["a", "b", "jaccard"])
+    texts_tbl = pa.concat_tables(
+        [
+            t
+            for t in (
+                ray.get(r)
+                for r in ds.map_batches(
+                    pull_texts, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        or [pa.table({id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())})]
     )
+    lookup = dict(
+        zip(texts_tbl[id_col].to_pylist(), texts_tbl[text_col].to_pylist())
+    )
+    jac = [
+        jaccard(lookup.get(x) or "", lookup.get(y) or "", k)
+        for x, y in zip(pairs["a"], pairs["b"])
+    ]
+    tbl = pa.table(
+        {
+            "a": pa.array(pairs["a"], pa.int64()),
+            "b": pa.array(pairs["b"], pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+    tbl = tbl.filter(pc.greater_equal(tbl["jaccard"], threshold))
+    return tbl.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
