@@ -795,6 +795,31 @@ select p[class="caption"] { caption: first(text pretty); cap-words: first(text) 
     )
 
 
+def q_curate(sf_dir: str):
+    """Flagship training-data curation (pipelines/curate.py): langid +
+    quality + dedup + partitioned resumable parquet output."""
+    import pyarrow.compute as _pc
+
+    from .curate import curate
+
+    out_dir = os.path.join(
+        "/tmp/lopez_ray_curated", sf_dir.strip("/").replace("/", "_")
+    )
+    ds = curate(sf_dir, out_dir=out_dir)
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang_pred": b["lang_pred"].cast(pa.string()),
+                "quality": _pc.round(b["quality"], ndigits=6),
+                "n_tokens": b["n_tokens"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
 def q_multimodal_decode(sf_dir: str):
     """Image decode/resize/feature pipeline over the t1 corpus."""
     import ray.data as rd
@@ -852,6 +877,7 @@ QUERIES = {
     "crawl_pagerank": q_crawl_pagerank,
     "multimodal_decode": q_multimodal_decode,
     "analyze_rules": q_analyze_rules,
+    "curate": q_curate,
 }
 
 ORACLES = {
