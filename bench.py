@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "embedding_norms",
     "quality",
+    "curate",
 ]
 
 CRAWL_TIER = os.environ.get("GRAFT_BENCH_TIER", "bench")  # 50k pages / 50 hosts
