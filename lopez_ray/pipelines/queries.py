@@ -633,6 +633,26 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pair search: 4×16-bit band blocking → in-bucket
+    hamming verify (stages/dedup.py)."""
+    from ..stages.dedup import simhash_near_dups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_near_dups(ds, max_hamming=3)
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b["a"].cast(pa.int64()),
+                "b": b["b"].cast(pa.int64()),
+                "hamming": b["hamming"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(canon, batch_format="pyarrow")
+
+
 def q_embedding_dups(sf_dir: str):
     from ..stages.dedup import embedding_near_dups
 
@@ -820,6 +840,55 @@ def q_curate(sf_dir: str):
     return ds.map_batches(canon, batch_format="pyarrow")
 
 
+def q_pagerank_distributed(sf_dir: str):
+    """The distributed PageRank path (iterative map_batches partial
+    contributions + groupby(to_id) shuffle) over the crawl's harvested
+    ahref edges — same graph as crawl_pagerank, different engine."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..crawler.pagerank import pagerank_ray
+    from ..hash import page_id as pid_of
+
+    q_crawl_bfs(sf_dir)  # ensure the crawl ran
+    out_dir = _crawl_out_dir(sf_dir)
+    status = pq.read_table(os.path.join(out_dir, "wave", "status.parquet"))
+    closed = {
+        p
+        for p, s in zip(
+            status["page_id"].to_pylist(), status["search_status"].to_pylist()
+        )
+        if s == "closed"
+    }
+    rows = {"from_id": [], "to_id": []}
+    for f in sorted(glob.glob(os.path.join(out_dir, "wave", "wave=*", "*.parquet"))):
+        t = pq.read_table(f, columns=["page_id", "link_urls", "link_reasons"])
+        for row in t.to_pylist():
+            if row["page_id"] not in closed:
+                continue
+            for url, reason in zip(row["link_urls"], row["link_reasons"]):
+                if reason == "ahref" and pid_of(url) in closed:
+                    rows["from_id"].append(row["page_id"])
+                    rows["to_id"].append(pid_of(url))
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "from_id": pa.array(rows["from_id"], pa.int64()),
+                "to_id": pa.array(rows["to_id"], pa.int64()),
+            }
+        )
+    )
+    out = pagerank_ray(edges)
+    return pa.table(
+        {
+            "page_id": out["page_id"],
+            "rank": pc.round(out["rank"], ndigits=8),
+        }
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Image decode/resize/feature pipeline over the t1 corpus."""
     import ray.data as rd
@@ -878,6 +947,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
+    "simhash_pairs": q_simhash_pairs,
+    "pagerank_distributed": q_pagerank_distributed,
 }
 
 ORACLES = {

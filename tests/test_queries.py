@@ -95,7 +95,7 @@ def test_query_vs_oracle(entry_mod, oracle_con, sf_dir, name):
     [
         "siphash", "pretty", "langid", "quality", "fingerprint", "simhash",
         "embedding_dups", "ann_ivf", "multimodal_decode", "analyze_rules",
-        "curate",
+        "curate", "simhash_pairs", "pagerank_distributed",
     ],
 )
 def test_rows_only_queries(entry_mod, sf_dir, name):
