@@ -107,7 +107,10 @@ def generate(out_dir: str, tier: str = "t2", seed: int = 42) -> dict[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "manifest.json")
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in ("web", "corpus", "robots")}
-    want = {"tier": tier, "seed": seed, "version": 5}
+    # version 6: LJPG DCT einsum→matmul (float summation order changed;
+    # cached corpora must be regenerated so stored phash stays
+    # self-consistent with decode)
+    want = {"tier": tier, "seed": seed, "version": 6}
     if os.path.exists(manifest):
         try:
             with open(manifest) as f:
