@@ -29,12 +29,11 @@ def _as_array(arr):
 def hash_column(arr) -> pa.Array:
     """`hash` transformer: SipHash24(string) → i64, null-propagating."""
     arr = _as_array(arr)
-    vals = arr.to_pylist()
-    mask = np.array([v is None for v in vals])
-    ids = page_ids([v if v is not None else "" for v in vals])
-    return pa.array(
-        [None if m else int(h) for m, h in zip(mask, ids)], pa.int64()
-    )
+    ids = page_ids(arr.fill_null("").to_pylist())
+    out = pa.array(ids.view(np.int64), pa.int64())
+    if arr.null_count:
+        out = pc.if_else(pc.is_valid(arr), out, pa.nulls(len(arr), pa.int64()))
+    return out
 
 
 def length_bytes(arr) -> pa.Array:

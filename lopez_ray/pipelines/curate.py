@@ -2,20 +2,25 @@
 100 TB" composition — language ID + quality scoring + token stats +
 exact dedup + partitioned, resumable Parquet output.
 
-Shape (all streaming, nothing materializes the corpus on the driver):
+Shape (all streaming; NOTHING materializes an O(corpus) table on the
+driver — r1's winner-set broadcast + to_pandas() is gone):
 
   read_parquet(documents, pruned columns)
     → map_batches(text_stats + quality)          vectorized pyarrow
-    → map_batches(LangId, actor pool)            stateful, scaled to CPUs
-    → filter(quality ≥ min_quality)              arrow kernel
-    → content-hash → groupby(hash) winner set    ONE dedup shuffle
-    → semi-join filter against winner ids        broadcast at test scale;
-                                                 hash-partitioned anti-join
-                                                 at corpus scale (same key)
+    → map_batches(LangId, actor pool)            vectorized RE2 kernels
+    → filter(quality ≥ min_quality, lang ∈ set)  arrow kernels
+    → content-hash + per-batch partial group_by  combiner before shuffle
+    → groupby(content_hash).aggregate(Min ...)   ONE dedup shuffle
     → write_parquet(out_dir, partition by lang)  one directory per lang —
                                                  a rerun skips finished
                                                  partitions (resumable,
                                                  never one giant file)
+
+The dedup trick: rows sharing a content hash share the TEXT, so every
+text-derived column (quality, n_tokens, n_chars, lang) is constant
+within the group — the winner row (min doc_id) is reconstructed entirely
+by Min aggregates, no join-back, no driver round-trip. lang_pred rides
+through the numeric aggregation as a small-int code.
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+LANGS_ALL = ("en", "fr", "es", "de", "zh", "und")
 
 
 def curate(
@@ -36,8 +43,9 @@ def curate(
     it partitioned by predicted language when out_dir is given)."""
     import ray
     import ray.data as rd
+    from ray.data.aggregate import Min
 
-    from ..stages.dedup import exact_dedup
+    from ..stages.dedup import add_content_hash
     from ..stages.text import LangId, quality_score, text_stats
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -55,31 +63,73 @@ def curate(
         LangId, batch_format="pyarrow", concurrency=conc, num_cpus=0.5
     )
 
-    def keep(b: pa.Table) -> pa.Table:
+    lang_codes = pa.array(list(LANGS_ALL), pa.string())
+
+    def keep_and_combine(b: pa.Table) -> pa.Table:
+        """Filter + content-hash + per-batch partial dedup (combiner):
+        the shuffle only moves one row per distinct content per batch."""
         mask = pc.and_(
             pc.greater_equal(b["quality"], min_quality),
             pc.is_in(b["lang_pred"], value_set=pa.array(langs)),
         )
-        return b.filter(mask)
+        b = b.filter(mask)
+        b = add_content_hash(b, "text")
+        lang_idx = pc.index_in(b["lang_pred"], value_set=lang_codes).cast(pa.int32())
+        t = pa.table(
+            {
+                "content_hash": b["content_hash"],
+                "doc_id": b["doc_id"],
+                "lang_idx": lang_idx,
+                "quality": b["quality"],
+                "n_tokens": b["n_tokens"],
+                "n_chars": b["n_chars"],
+            }
+        )
+        agg = t.group_by("content_hash").aggregate(
+            [
+                ("doc_id", "min"),
+                ("lang_idx", "min"),
+                ("quality", "min"),
+                ("n_tokens", "min"),
+                ("n_chars", "min"),
+            ]
+        )
+        return pa.table(
+            {
+                "content_hash": agg["content_hash"],
+                "doc_id": agg["doc_id_min"],
+                "lang_idx": agg["lang_idx_min"],
+                "quality": agg["quality_min"],
+                "n_tokens": agg["n_tokens_min"],
+                "n_chars": agg["n_chars_min"],
+            }
+        )
 
-    kept = scored.map_batches(keep, batch_format="pyarrow")
-
-    # Exact dedup: winner (min doc_id) per content hash — the winner
-    # table is one row per DISTINCT content, collected and broadcast.
-    winners = exact_dedup(
-        kept.select_columns(["doc_id", "text"]), col="text", id_col="doc_id"
-    ).to_pandas()
-    winner_ids = set(winners["doc_id"])
-    ids_ref = ray.put(winner_ids)
-
-    def dedup_filter(b: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array([i in wanted for i in b["doc_id"].to_pylist()])
-        return b.filter(mask)
-
-    curated = kept.map_batches(dedup_filter, batch_format="pyarrow").select_columns(
-        ["doc_id", "lang_pred", "quality", "n_tokens", "n_chars"]
+    deduped = (
+        scored.map_batches(keep_and_combine, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("lang_idx", alias_name="lang_idx"),
+            Min("quality", alias_name="quality"),
+            Min("n_tokens", alias_name="n_tokens"),
+            Min("n_chars", alias_name="n_chars"),
+        )
     )
+
+    def finish(b: pa.Table) -> pa.Table:
+        lang = lang_codes.take(b["lang_idx"].combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang_pred": lang,
+                "quality": b["quality"],
+                "n_tokens": b["n_tokens"].cast(pa.int64()),
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    curated = deduped.map_batches(finish, batch_format="pyarrow")
 
     if out_dir:
         done_marker = os.path.join(out_dir, "_DONE")

@@ -41,9 +41,13 @@ def _conc(frac: float = 0.5, lo: int = 2, hi: int = 24) -> int:
     return max(lo, min(hi, int(cpus * frac)))
 
 
-def _round_col(table: pa.Table, col: str, digits: int) -> pa.Table:
+def _round_col(
+    table: pa.Table, col: str, digits: int, mode: str = "half_to_even"
+) -> pa.Table:
     i = table.column_names.index(col)
-    return table.set_column(i, col, pc.round(table[col], ndigits=digits))
+    return table.set_column(
+        i, col, pc.round(table[col], ndigits=digits, round_mode=mode)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -77,14 +81,27 @@ def q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = _rp(sf_dir, "documents", ["lang", "n_chars"])
-    return (
+    agg = (
         ds.groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
     )
 
+    # Canonicalizing finish stage (like every other oracled groupby):
+    # DuckDB sum(bigint) yields HUGEINT driver-side; pin both sides int64.
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+                "total_chars": b["total_chars"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
 
 SQL_LANG_COUNTS = """
-select lang, count(*) as n_docs, sum(n_chars) as total_chars
+select lang, count(*) as n_docs, cast(sum(n_chars) as bigint) as total_chars
 from documents group by lang
 """
 
@@ -251,7 +268,19 @@ def q_events_sessions(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    grouped = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+    # int64 canon on both sides (oracle's sum(case)+1 is HUGEINT).
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "n_events": b["n_events"].cast(pa.int64()),
+                "n_sessions": b["n_sessions"].cast(pa.int64()),
+            }
+        )
+
+    return grouped.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_EVENTS_SESSIONS = """
@@ -261,9 +290,9 @@ with ordered as (
          lag(epoch_us(ts) // 1000000) over (partition by user_id order by ts) as prev
   from events
 )
-select user_id,
+select cast(user_id as bigint) as user_id,
        count(*) as n_events,
-       (sum(case when prev is not null and sec - prev > 1800 then 1 else 0 end) + 1) as n_sessions
+       cast(sum(case when prev is not null and sec - prev > 1800 then 1 else 0 end) + 1 as bigint) as n_sessions
 from ordered group by user_id
 """
 
@@ -351,14 +380,29 @@ def q_orders_by_segment(sf_dir: str):
     from ray.data.aggregate import Sum
 
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # Broadcast the small side as SORTED numpy key array + value array:
+    # per-batch lookup is one vectorized searchsorted (no Python per row),
+    # same pattern as the fetch-stage URL index (crawler/fetch.py).
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    lookup_ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy()[order],
+            pa.array(cust["c_mktsegment"].to_numpy()[order], pa.string()),
+        )
+    )
     ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def attach(b: pa.Table) -> pa.Table:
-        seg_map = ray.get(seg_map_ref)
-        segs = [seg_map.get(k) for k in b["o_custkey"].to_pylist()]
+        keys, vals = ray.get(lookup_ref)
+        probe = b["o_custkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        segs = vals.take(pa.array(pos, pa.int64()))
+        hit = pa.array(keys[pos] == probe)
         t = pa.table(
-            {"c_mktsegment": pa.array(segs, pa.string()), "price": b["o_totalprice"]}
+            {
+                "c_mktsegment": pc.if_else(hit, segs, pa.nulls(len(probe), pa.string())),
+                "price": b["o_totalprice"],
+            }
         )
         return t.group_by("c_mktsegment").aggregate(
             [("price", "sum"), ("price", "count")]
@@ -400,15 +444,26 @@ def q_suppliers_per_region(sf_dir: str):
 
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    # Pre-compose nation→region-name on the driver (both tiny), broadcast
+    # as sorted key/value arrays; per-batch lookup = one searchsorted.
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put({k: r2name.get(v) for k, v in n2r.items()})
+    nkeys = nation["n_nationkey"].to_numpy()
+    order = np.argsort(nkeys)
+    names = pa.array(
+        [r2name.get(v) for v in nation["n_regionkey"].to_numpy()[order]], pa.string()
+    )
+    lookup_ref = ray.put((nkeys[order], names))
     ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
     def attach(b: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        names = [lk.get(k) for k in b["s_nationkey"].to_pylist()]
-        return pa.table({"r_name": pa.array(names, pa.string())})
+        keys, vals = ray.get(lookup_ref)
+        probe = b["s_nationkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        hit = pa.array(keys[pos] == probe)
+        got = vals.take(pa.array(pos, pa.int64()))
+        return pa.table(
+            {"r_name": pc.if_else(hit, got, pa.nulls(len(probe), pa.string()))}
+        )
 
     return (
         ds.map_batches(attach, batch_format="pyarrow")
@@ -597,14 +652,59 @@ def q_langid(sf_dir: str):
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def _sql_langid() -> str:
+    from ..stages.text import langid_sql_expr
+
+    inner, case = langid_sql_expr("text")
+    return f"""
+select doc_id, {case} as lang_pred
+from (select doc_id, text, {inner} from documents)
+"""
+
+
 def q_quality(sf_dir: str):
     from ..stages.text import quality_score, text_stats
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        lambda b: quality_score(text_stats(b)).select(["doc_id", "quality"]),
+        # half_towards_infinity: the quality blend lands on exact dyadic
+        # 6dp ties (e.g. 0.7703125) where DuckDB rounds away from zero
+        lambda b: _round_col(
+            quality_score(text_stats(b)).select(["doc_id", "quality"]),
+            "quality", 6, mode="half_towards_infinity",
+        ),
         batch_format="pyarrow",
     )
+
+
+def _sql_quality(select_cols: str = "doc_id", digits: int | None = 6) -> str:
+    """The quality heuristic verbatim in SQL (same op order as
+    stages/text.py quality_score so the doubles are bit-equal).
+    digits=None keeps the raw double (for threshold filters that must
+    agree with the engine's unrounded comparison)."""
+    from ..stages.text import STOPWORDS, PUNCT_RE, TOKEN_RE
+
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    expr = (
+        "0.4 * least(greatest((n_tokens - 5) / 45.0, 0), 1)"
+        " + 0.3 * least(greatest((n_stop / greatest(n_tokens, 1)::double) / 0.2, 0), 1)"
+        " + 0.3 * (1 - least(greatest(((n_punct / greatest(n_chars, 1)::double) - 0.2) / 0.3, 0), 1))"
+    )
+    if digits is not None:
+        expr = f"round({expr}, {digits})"
+    return f"""
+with stats as (
+  select *,
+         length(text) as n_chars,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) as n_tokens,
+         len(regexp_extract_all(text, '{PUNCT_RE}')) as n_punct,
+         len(regexp_extract_all(text, '{stop_re}')) as n_stop
+  from documents
+)
+select {select_cols},
+       {expr} as quality
+from stats
+"""
 
 
 def q_fingerprint(sf_dir: str):
@@ -817,7 +917,10 @@ select p[class="caption"] { caption: first(text pretty); cap-words: first(text) 
 
 def q_curate(sf_dir: str):
     """Flagship training-data curation (pipelines/curate.py): langid +
-    quality + dedup + partitioned resumable parquet output."""
+    quality + dedup + partitioned resumable parquet output. DuckDB-
+    oracled: quality + langid are SQL-expressible (same algorithm
+    generated from the same constants) and the exact-dedup winner set
+    equals `row_number() over (partition by text order by doc_id) = 1`."""
     import pyarrow.compute as _pc
 
     from .curate import curate
@@ -832,12 +935,34 @@ def q_curate(sf_dir: str):
             {
                 "doc_id": b["doc_id"].cast(pa.int64()),
                 "lang_pred": b["lang_pred"].cast(pa.string()),
-                "quality": _pc.round(b["quality"], ndigits=6),
+                "quality": _pc.round(
+                    b["quality"], ndigits=6, round_mode="half_towards_infinity"
+                ),
                 "n_tokens": b["n_tokens"].cast(pa.int64()),
             }
         )
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def _sql_curate() -> str:
+    from ..stages.text import langid_sql_expr
+
+    inner, case = langid_sql_expr("text")
+    quality = _sql_quality(select_cols="doc_id, text, n_tokens", digits=None)
+    return f"""
+with q as ({quality}),
+langed as (
+  select q.doc_id, q.text, q.n_tokens, q.quality, {case} as lang_pred
+  from (select doc_id, {inner} from documents) l
+  join q on q.doc_id = l.doc_id
+)
+select doc_id, lang_pred, round(quality, 6) as quality,
+       cast(n_tokens as bigint) as n_tokens
+from langed
+where quality >= 0.35 and lang_pred in ('en', 'fr', 'es', 'de')
+qualify row_number() over (partition by text order by doc_id) = 1
+"""
 
 
 def q_pagerank_distributed(sf_dir: str):
@@ -966,4 +1091,7 @@ ORACLES = {
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "langid": _sql_langid(),
+    "quality": _sql_quality(),
+    "curate": _sql_curate(),
 }

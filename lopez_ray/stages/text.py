@@ -65,60 +65,98 @@ def quality_score(batch: pa.Table) -> pa.Table:
     return batch.append_column("quality", pa.array(score, pa.float64()))
 
 
-class LangId:
-    """Character-profile language identifier (actor-pool stage).
+LANGID_SEEDS = {
+    # Alternation ORDER is part of the algorithm (RE2 leftmost-first):
+    # both the Arrow kernel and the generated DuckDB SQL build their
+    # pattern from this same list, so counts agree exactly.
+    "en": "the and of to in is you that it was for on are as with they at be this have from or one had by but not what all were when can there use an each which she how their if",
+    "fr": "le la les de des un une et est que qui dans pour pas sur avec vous nous il elle au aux ce cette mais donc car ne se son ses leur bien plus sans tout",
+    "es": "el los las y es no se por con para su al lo como mas pero sus ya este si porque esta entre cuando muy sin sobre tambien",
+    "de": "der die das und ist du ich nicht es ein eine zu den dem mit sich des auf im dass er sie wir ihr aus bei nach wie auch nur vom durch",
+}
+LANGID_ORDER = ("en", "fr", "es", "de")  # tie-break precedence
+_CJK_RE = r"[\x{4E00}-\x{9FFF}]"
 
-    Heuristic n-gram/charset classifier: CJK codepoint ranges short-circuit
-    zh/ja/ko; otherwise a cosine match of character-trigram frequencies
-    against tiny embedded profiles built from common-word lists. State
-    (profiles) is built once per actor (__init__), per the actor-pool
-    pattern for stateful stages.
-    """
 
-    SEEDS = {
-        "en": "the and of to in is you that it he was for on are as with his they i at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if",
-        "fr": "le la les de des un une et est que qui dans pour pas sur avec vous nous il elle au aux ce cette mais ou donc car ne se son ses leur bien plus sans tout",
-        "es": "el la los las de un una y es que en no se por con para su al lo como mas pero sus le ya o este si porque esta entre cuando muy sin sobre tambien",
-        "de": "der die das und ist du ich nicht es ein eine zu den dem mit sich des auf fur im dass er sie wir ihr aus bei nach wie uber auch nur vom durch",
+def langid_sql_expr(text_col: str = "text") -> str:
+    """The EXACT classifier as a DuckDB SQL expression (the langid /
+    curate oracles are generated from the same seed lists + precedence
+    the engine uses, so the two sides are the same algorithm twice)."""
+    scores = {
+        lang: (
+            f"len(regexp_extract_all(lower({text_col}), "
+            f"'\\b({'|'.join(words.split())})\\b'))"
+        )
+        for lang, words in LANGID_SEEDS.items()
     }
+    s = {lang: f"s_{lang}" for lang in LANGID_ORDER}
+    inner = ", ".join(f"{scores[lang]} as {s[lang]}" for lang in LANGID_ORDER)
+    cjk = (
+        f"len(regexp_extract_all(substr({text_col}, 1, 200), '{_CJK_RE}'))"
+        f" > 0.2 * length(substr({text_col}, 1, 200))"
+    )
+    case = (
+        f"case when {text_col} is null or length({text_col}) = 0 then 'und' "
+        f"when {cjk} then 'zh' "
+        f"when greatest(s_en, s_fr, s_es, s_de) = 0 then 'und' "
+        f"when s_en >= s_fr and s_en >= s_es and s_en >= s_de then 'en' "
+        f"when s_fr >= s_es and s_fr >= s_de then 'fr' "
+        f"when s_es >= s_de then 'es' else 'de' end"
+    )
+    return inner, case
+
+
+class LangId:
+    """Stopword-count language identifier — fully vectorized.
+
+    Per language: count of non-overlapping ``\\b(w1|w2|...)\\b`` matches
+    over the lowercased text (one RE2 kernel pass per language); CJK
+    codepoint density short-circuits ``zh``; argmax with the fixed
+    LANGID_ORDER precedence on ties; all-zero → ``und``. Deterministic
+    and expressible verbatim in DuckDB (``langid_sql_expr``), which is
+    what makes `langid` and `curate` driver-oracle-checkable.
+
+    Kept as a callable class (actor-pool shape): the per-language
+    patterns are built once per actor in ``__init__``.
+    """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.profiles = {}
-        for lang, words in self.SEEDS.items():
-            prof: dict[str, float] = {}
-            text = " " + words.replace(" ", "  ") + " "
-            for i in range(len(text) - 2):
-                g = text[i : i + 3]
-                prof[g] = prof.get(g, 0.0) + 1.0
-            norm = sum(v * v for v in prof.values()) ** 0.5
-            self.profiles[lang] = {g: v / norm for g, v in prof.items()}
-
-    def _classify(self, text: str) -> str:
-        if not text:
-            return "und"
-        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
-        if cjk > len(text[:200]) * 0.2:
-            return "zh"
-        sample = " " + text[:500].lower() + " "
-        counts: dict[str, float] = {}
-        for i in range(len(sample) - 2):
-            g = sample[i : i + 3]
-            counts[g] = counts.get(g, 0.0) + 1.0
-        norm = sum(v * v for v in counts.values()) ** 0.5 or 1.0
-        best, best_s = "und", 0.0
-        for lang, prof in self.profiles.items():
-            s = sum(prof.get(g, 0.0) * v for g, v in counts.items()) / norm
-            if s > best_s:
-                best, best_s = lang, s
-        return best
+        self.patterns = {
+            lang: r"\b(" + "|".join(words.split()) + r")\b"
+            for lang, words in LANGID_SEEDS.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.text_col]
-        preds = [
-            "und" if v is None else self._classify(v) for v in col.to_pylist()
-        ]
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        t = batch[self.text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        n = len(t)
+        low = pc.utf8_lower(t)
+        scores = np.stack(
+            [
+                pc.count_substring_regex(low, self.patterns[lang])
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                for lang in LANGID_ORDER
+            ]
+        )  # (4, n); nulls → 0 via fill
+        scores = np.nan_to_num(scores.astype(np.float64)).astype(np.int64)
+        best = np.argmax(scores, axis=0)  # first max wins == precedence
+        preds = np.array(LANGID_ORDER, dtype=object)[best]
+        preds[scores.max(axis=0) == 0] = "und"
+        head = pc.utf8_slice_codeunits(t, 0, 200)
+        cjk_n = pc.count_substring_regex(head, _CJK_RE).cast(pa.float64())
+        head_len = pc.utf8_length(head).cast(pa.float64())
+        is_cjk = pc.fill_null(
+            pc.greater(cjk_n, pc.multiply(head_len, pa.scalar(0.2))), False
+        )
+        preds[is_cjk.to_numpy(zero_copy_only=False).astype(bool)] = "zh"
+        empty = pc.fill_null(pc.equal(pc.utf8_length(t), 0), True)
+        preds[empty.to_numpy(zero_copy_only=False).astype(bool)] = "und"
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), pa.string())
+        )
 
 
 class Fingerprint:
