@@ -266,6 +266,38 @@ class FrontierShard:
             (rec[0], pid, rec[2], rec[3], rec[1]) for pid, rec in self.pages.items()
         ]
 
+    def write_status(self, directory: str) -> str:
+        """Shard-local status write: each shard persists its own slice of
+        the status table as ``<directory>/shard-K.parquet`` so the final
+        crawl status never funnels through the driver (the full table is
+        O(total URLs) — the first thing that dies at the 10^10-URL design
+        point). Readers open the directory as one parquet dataset."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        urls, pids, statuses, codes, depths = [], [], [], [], []
+        for pid, rec in self.pages.items():
+            urls.append(rec[0])
+            pids.append(pid)
+            statuses.append(rec[2])
+            codes.append(rec[3])
+            depths.append(rec[1])
+        table = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "page_id": pa.array(pids, pa.int64()),
+                "search_status": pa.array(statuses, pa.string()),
+                "status_code": pa.array(codes, pa.int32()),
+                "depth": pa.array(depths, pa.int32()),
+            }
+        )
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"shard-{self.shard_id}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        return path
+
     def stats(self) -> dict:
         return {
             "shard": self.shard_id,

@@ -331,9 +331,12 @@ class CrawlJob:
             wave += 1
         elapsed = time.monotonic() - t0
 
-        # Final authoritative status table + lineage.
-        status_rows = ray.get([s.status_rows.remote() for s in self.shards])
-        self._write_status(status_rows)
+        # Final authoritative status table + lineage. Each shard writes
+        # its own slice under status.parquet/ (a parquet *directory* —
+        # pq.read_table opens it transparently); the O(total-URLs) table
+        # never transits the driver.
+        status_dir = os.path.join(self.wave_dir, "status.parquet")
+        ray.get([s.write_status.remote(status_dir) for s in self.shards])
         ray.get([s.checkpoint.remote(self.ckpt_dir) for s in self.shards])
         self._write_manifest(wave, n_sent, final=True)
         stats = ray.get([s.stats.remote() for s in self.shards])
@@ -478,22 +481,3 @@ class CrawlJob:
                 f,
             )
 
-    def _write_status(self, status_rows) -> None:
-        cols = {"url": [], "page_id": [], "search_status": [], "status_code": [], "depth": []}
-        for rows in status_rows:
-            for url, pid, status, code, depth in rows:
-                cols["url"].append(url)
-                cols["page_id"].append(pid)
-                cols["search_status"].append(status)
-                cols["status_code"].append(code)
-                cols["depth"].append(depth)
-        table = pa.table(
-            {
-                "url": pa.array(cols["url"], pa.string()),
-                "page_id": pa.array(cols["page_id"], pa.int64()),
-                "search_status": pa.array(cols["search_status"], pa.string()),
-                "status_code": pa.array(cols["status_code"], pa.int32()),
-                "depth": pa.array(cols["depth"], pa.int32()),
-            }
-        )
-        pq.write_table(table, os.path.join(self.wave_dir, "status.parquet"))

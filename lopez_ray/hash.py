@@ -166,3 +166,30 @@ def page_ids(urls) -> np.ndarray:
     """Vectorized ``page_id`` over an iterable of URL strings → int64 array."""
     payloads = [u.encode("utf-8") + b"\xff" for u in urls]
     return siphash24_batch(payloads).view(np.int64)
+
+
+def md5_u64(data: bytes) -> int:
+    """Oracle-shared 64-bit hash: little-endian uint64 of MD5 digest
+    bytes [8:16] — exactly DuckDB's ``md5_number_lower(s)::ubigint``, so
+    any operator built on it (simhash / minhash / winnowing fingerprints)
+    has a DuckDB-expressible oracle. Not a speed hash: use siphash24 for
+    page ids (reference bit-parity) and this only where SQL must agree."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+
+
+def md5_u64_batch(payloads: list[bytes]) -> np.ndarray:
+    """Vectorized-enough batch variant (one C-speed md5 per item, no
+    Python-per-byte work); returns uint64 array."""
+    import hashlib
+
+    md5 = hashlib.md5
+    return np.fromiter(
+        (
+            int.from_bytes(md5(p).digest()[8:16], "little")
+            for p in payloads
+        ),
+        dtype=np.uint64,
+        count=len(payloads),
+    )

@@ -716,11 +716,80 @@ def q_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fp_min"])
 
 
+# fp_min = min over all k-gram hashes (min of window minima collapses);
+# gram hash is the oracle-shared md5_u64 == md5_number_lower (hash.py).
+SQL_FINGERPRINT = """
+select doc_id,
+       case when len(toks) >= 5 then
+         list_min([ ((md5_number_lower(array_to_string(toks[i:i+4], ' '))::ubigint >> 1))::bigint
+                    for i in generate_series(1, len(toks) - 4) ])
+       else null end as fp_min
+from (select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as toks
+      from documents)
+"""
+
+
 def q_minhash_pairs(sf_dir: str):
     from ..stages.dedup import minhash_dedup_pairs
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def _sql_minhash_pairs(threshold: float = 0.5) -> str:
+    """The FULL minhash pipeline in SQL — same md5-derived shingle hash,
+    same (a*x+b) uint64-WRAPPING permutation constants (generated from
+    the same seeded rng as stages/dedup.MinHasher), same 16×4 banding
+    rule, same exact-Jaccard verify — so the oracle reproduces both the
+    LSH recall behavior and the verification filter."""
+    from ..stages.dedup import MinHasher
+
+    mh = MinHasher()  # default num_perm=64, bands=16, k=3, seed=7
+    perm_rows = ", ".join(
+        f"({j}, {int(mh.a[j])}::uhugeint, {int(mh.b[j])}::uhugeint)"
+        for j in range(mh.num_perm)
+    )
+    band_checks = " or ".join(
+        f"(x.sig[{4*b+1}:{4*b+4}] = y.sig[{4*b+1}:{4*b+4}])" for b in range(mh.bands)
+    )
+    return f"""
+with toks as (
+  select doc_id, [x for x in string_split_regex(lower(text), '\\s+') if x <> ''] as t
+  from documents
+),
+sh as (
+  select doc_id,
+         case when len(t) = 0 then []
+              when len(t) < 3 then [array_to_string(t, ' ')]
+              else [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t) - 2)]
+         end as gs
+  from toks
+),
+shd as (select doc_id, list_distinct(gs) as sset from sh),
+expl as (select doc_id, unnest(gs) as g from sh),
+h as (select doc_id, (md5_number_lower(g)::ubigint >> 3)::uhugeint as hv from expl),
+perms(j, pa, pb) as (values {perm_rows}),
+sv as (
+  select doc_id, j,
+         min(((hv * pa) % 18446744073709551616::uhugeint + pb)
+             % 18446744073709551616::uhugeint
+             % 2305843009213693951::uhugeint) as v
+  from h cross join perms group by doc_id, j
+),
+sigs as (select doc_id, list(v order by j) as sig from sv group by doc_id),
+cand as (
+  select x.doc_id as a, y.doc_id as b
+  from sigs x join sigs y on x.doc_id < y.doc_id
+  where {band_checks}
+),
+jac as (
+  select a, b,
+         len(list_intersect(s1.sset, s2.sset))
+           / (len(s1.sset) + len(s2.sset) - len(list_intersect(s1.sset, s2.sset))) as jaccard
+  from cand join shd s1 on s1.doc_id = cand.a join shd s2 on s2.doc_id = cand.b
+)
+select a, b, jaccard from jac where jaccard >= {threshold}
+"""
 
 
 def q_simhash(sf_dir: str):
@@ -731,6 +800,49 @@ def q_simhash(sf_dir: str):
         lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
         batch_format="pyarrow",
     )
+
+
+_SQL_SIMHASH_VALS = """
+with toks as (
+  select doc_id, [x for x in string_split_regex(lower(text), '\\s+') if x <> ''] as t
+  from documents
+),
+tok as (select doc_id, unnest(t) as tk from toks),
+th as (select doc_id, md5_number_lower(tk)::ubigint as hv from tok),
+acc as (
+  select doc_id, b,
+         sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as s
+  from th cross join (select unnest(generate_series(0, 63)) as b) bits
+  group by doc_id, b
+),
+vals as (
+  select doc_id, sum(case when s > 0 then (1::hugeint << b) else 0::hugeint end) as v
+  from acc group by doc_id
+),
+allv as (
+  select t.doc_id, coalesce(v, 0::hugeint) as v
+  from toks t left join vals using (doc_id)
+)
+"""
+
+SQL_SIMHASH = _SQL_SIMHASH_VALS + """
+select doc_id,
+       (case when v >= 9223372036854775808::hugeint
+             then v - 18446744073709551616::hugeint else v end)::bigint as simhash
+from allv
+"""
+
+SQL_SIMHASH_PAIRS = _SQL_SIMHASH_VALS + """
+, u as (select doc_id, v::ubigint as uv from allv)
+select x.doc_id as a, y.doc_id as b,
+       bit_count(xor(x.uv, y.uv))::bigint as hamming
+from u x join u y on x.doc_id < y.doc_id
+where (((x.uv >> 0) & 65535 = (y.uv >> 0) & 65535)
+    or ((x.uv >> 16) & 65535 = (y.uv >> 16) & 65535)
+    or ((x.uv >> 32) & 65535 = (y.uv >> 32) & 65535)
+    or ((x.uv >> 48) & 65535 = (y.uv >> 48) & 65535))
+  and bit_count(xor(x.uv, y.uv)) <= 3
+"""
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -1094,4 +1206,8 @@ ORACLES = {
     "langid": _sql_langid(),
     "quality": _sql_quality(),
     "curate": _sql_curate(),
+    "fingerprint": SQL_FINGERPRINT,
+    "minhash_pairs": _sql_minhash_pairs(),
+    "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
 }

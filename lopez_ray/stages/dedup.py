@@ -26,13 +26,23 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hash import siphash24_batch
+import re
+
+from ..hash import md5_u64_batch, siphash24_batch
 
 _MERSENNE = (1 << 61) - 1
 
+# ASCII \s+ (RE2 semantics) so the DuckDB oracles' string_split_regex
+# tokenizes identically to the engine.
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _WS_RE.split(text.lower()) if t]
+
 
 def _shingles(text: str, k: int = 3) -> list[bytes]:
-    toks = text.lower().split()
+    toks = _tokens(text)
     if len(toks) < k:
         return [" ".join(toks).encode()] if toks else []
     return [" ".join(toks[i : i + k]).encode() for i in range(len(toks) - k + 1)]
@@ -105,7 +115,10 @@ class MinHasher:
         out = np.full((n, self.num_perm), np.iinfo(np.int64).max, dtype=np.int64)
         if not all_shingles:
             return out
-        base = siphash24_batch(all_shingles) >> np.uint64(3)
+        # md5-derived base hash == DuckDB md5_number_lower: the whole
+        # signature pipeline (incl. the uint64 WRAPPING mul/add below) is
+        # reproducible in the minhash_pairs SQL oracle.
+        base = md5_u64_batch(all_shingles) >> np.uint64(3)
         with np.errstate(over="ignore"):
             vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
                 _MERSENNE
@@ -183,28 +196,39 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
     ).to_pandas()
     if len(dup_keys) == 0:
         return None
-    key_set = set(zip(dup_keys["band"], dup_keys["band_hash"]))
-    key_ref = ray.put(key_set)
+
+    def _combined(bands: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+        # one wrapping-uint64 key per (band, band_hash) — keeps the
+        # survivor semi-join a single vectorized membership probe
+        return hashes.astype(np.uint64) * np.uint64(31) + bands.astype(np.uint64)
+
+    key_sorted = np.sort(
+        _combined(dup_keys["band"].to_numpy(), dup_keys["band_hash"].to_numpy())
+    )
+    key_ref = ray.put(key_sorted)
 
     def keep_survivors(batch: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        bands = batch["band"].to_pylist()
-        hashes = batch["band_hash"].to_pylist()
-        mask = pa.array([(b, h) in keys for b, h in zip(bands, hashes)])
-        return batch.filter(mask)
+        keys = ray.get(key_ref)  # sorted uint64, zero-copy from plasma
+        probe = _combined(
+            batch["band"].to_numpy(zero_copy_only=False),
+            batch["band_hash"].to_numpy(zero_copy_only=False),
+        )
+        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        return batch.filter(pa.array(keys[pos] == probe))
 
     survivors = banded.map_batches(keep_survivors, batch_format="pyarrow")
 
     def bucket_pairs(g):
         import pandas as pd
 
-        ids = sorted(g[id_col].tolist())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(pairs, columns=["a", "b"])
+        ids = np.sort(g[id_col].to_numpy())
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {
+                "a": pd.Series(ids[iu], dtype="int64"),
+                "b": pd.Series(ids[ju], dtype="int64"),
+            }
+        )
 
     pairs = survivors.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
@@ -294,31 +318,91 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
 # ---------------------------------------------------------------------------
 
 
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash from token hashes (Charikar 2002): sign of the
-    per-bit weighted sum."""
-    sigs = []
-    for text in batch[text_col].to_pylist():
-        toks = (text or "").lower().split()
-        if not toks:
-            sigs.append(0)
-            continue
-        hs = siphash24_batch([t.encode() for t in toks])
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        acc = (2 * bits - 1).sum(axis=0)
-        val = 0
-        for j in range(64):
-            if acc[j] > 0:
-                val |= 1 << j
-        sigs.append(val - (1 << 64) if val >= 1 << 63 else val)
-    return batch.append_column("simhash", pa.array(sigs, pa.int64()))
+    per-bit weighted sum. One hash pass over the batch's tokens, one
+    reduceat per doc-chunk — no Python-per-doc loops or per-bit loops.
+    Token hash = md5_u64 (DuckDB md5_number_lower) so the `simhash` and
+    `simhash_pairs` queries have exact SQL oracles."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    sigs = np.zeros(n, dtype=np.uint64)
+    all_toks: list[bytes] = []
+    offsets = [0]
+    for t in texts:
+        all_toks.extend(tok.encode() for tok in _tokens(t or ""))
+        offsets.append(len(all_toks))
+    if all_toks:
+        hs = md5_u64_batch(all_toks)
+        starts = np.asarray(offsets[:-1])
+        ends = np.asarray(offsets[1:])
+        nonempty = np.flatnonzero(ends > starts)
+        # chunk doc ranges so the (tokens × 64) sign matrix stays small
+        tok_budget = 1 << 17
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo
+            while hi < len(nonempty) and (
+                hi == lo or ends[nonempty[hi]] - starts[nonempty[lo]] < tok_budget
+            ):
+                hi += 1
+            seg = nonempty[lo:hi]
+            s0, s1 = starts[seg[0]], ends[seg[-1]]
+            signs = (
+                ((hs[s0:s1, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+                .astype(np.int32) * 2 - 1
+            )
+            acc = np.add.reduceat(signs, starts[seg] - s0, axis=0)
+            sigs[seg] = ((acc > 0).astype(np.uint64) * _POW2[None, :]).sum(axis=1)
+            lo = hi
+    return batch.append_column("simhash", pa.array(sigs.view(np.int64), pa.int64()))
+
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def _hamming_pairs_tiled(sigs: np.ndarray, max_d: int, tile: int = 2048):
+    """Sparse (i, j, d) with i < j and hamming(sigs[i], sigs[j]) <= max_d,
+    computed tile-by-tile so memory stays ~tile² regardless of how
+    degenerate the bucket is (skew guard: vectorized xor+popcount, never
+    a Python pair loop, never an O(n²) materialized matrix)."""
+    n = len(sigs)
+    ii, jj, dd = [], [], []
+    for i0 in range(0, n, tile):
+        ai = sigs[i0 : i0 + tile]
+        for j0 in range(i0, n, tile):
+            x = ai[:, None] ^ sigs[None, j0 : j0 + tile]
+            d = _POPCNT8[x.view(np.uint8).reshape(len(ai), -1, 8)].sum(
+                axis=2, dtype=np.int64
+            )
+            pi, pj = np.nonzero(d <= max_d)
+            gi, gj = pi + i0, pj + j0
+            keep = gi < gj
+            ii.append(gi[keep])
+            jj.append(gj[keep])
+            dd.append(d[pi[keep], pj[keep]])
+    if not ii:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    return np.concatenate(ii), np.concatenate(jj), np.concatenate(dd)
 
 
 def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"):
     """Near-dup pairs by SimHash: 4×16-bit band blocking (a pair within
-    hamming<=3 must agree on >=1 band) → hamming verify within buckets."""
+    hamming<=3 must agree on >=1 band, by pigeonhole) → hamming verify
+    within buckets.
+
+    Skew guards (degenerate corpora produce huge buckets, e.g. near-empty
+    docs all hashing to signature 0): within a bucket the verify runs on
+    DISTINCT signatures only — identical-signature groups contribute
+    distance-0 pairs by construction (that output is inherent, but no
+    hamming work is spent on it) — and the distinct-signature pair matrix
+    is computed as tiled vectorized xor+popcount, never a Python loop."""
     import pandas as pd
 
     sigs = ds.map_batches(
@@ -327,39 +411,62 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sh = batch["simhash"].to_pylist()
-        rows = {"id": [], "band": [], "key": []}
-        for i, s in zip(ids, sh):
-            u = s & ((1 << 64) - 1)
-            for band in range(4):
-                rows["id"].append(i)
-                rows["band"].append(band)
-                rows["key"].append((u >> (16 * band)) & 0xFFFF)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sim.view(np.uint64)
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = (
+            (u[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)[None, :]))
+            & np.uint64(0xFFFF)
+        ).astype(np.int32)
         return pa.table(
             {
-                "id": pa.array(rows["id"], pa.int64()),
-                "band": pa.array(rows["band"], pa.int32()),
-                "key": pa.array(rows["key"], pa.int32()),
-                "sim": pa.array(
-                    [s for s in sh for _ in range(4)], pa.int64()
-                ),
+                "id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band": pa.array(bands, pa.int32()),
+                "key": pa.array(keys.reshape(-1), pa.int32()),
+                "sim": pa.array(np.repeat(sim, 4), pa.int64()),
             }
         )
 
+    empty_pairs = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+         "hamming": pd.Series([], dtype="int64")}
+    )
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(zip(g["id"], g["sim"]))
-        out = []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                a, sa = recs[i]
-                b, sb = recs[j]
-                d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    out.append((a, b, d))
-        return pd.DataFrame(out, columns=["a", "b", "hamming"]) if out else pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")}
+        ids = g["id"].to_numpy()
+        sims = g["sim"].to_numpy().view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sims = ids[order], sims[order]
+        uniq, inv = np.unique(sims, return_inverse=True)
+        out_a, out_b, out_d = [], [], []
+        # identical-signature groups → distance-0 pairs (vectorized)
+        for gidx in np.flatnonzero(np.bincount(inv) > 1):
+            members = ids[inv == gidx]
+            iu, ju = np.triu_indices(len(members), k=1)
+            out_a.append(members[iu])
+            out_b.append(members[ju])
+            out_d.append(np.zeros(len(iu), dtype=np.int64))
+        # distinct-signature pairs → tiled sparse hamming
+        if len(uniq) > 1:
+            ii, jj, dd = _hamming_pairs_tiled(uniq, max_hamming)
+            for i, j, d in zip(ii, jj, dd):
+                ma, mb = ids[inv == i], ids[inv == j]
+                ga, gb = np.meshgrid(ma, mb, indexing="ij")
+                a = np.minimum(ga, gb).reshape(-1)
+                b = np.maximum(ga, gb).reshape(-1)
+                out_a.append(a)
+                out_b.append(b)
+                out_d.append(np.full(len(a), d, dtype=np.int64))
+        if not out_a:
+            return empty_pairs
+        return pd.DataFrame(
+            {
+                "a": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "b": pd.Series(np.concatenate(out_b), dtype="int64"),
+                "hamming": pd.Series(np.concatenate(out_d), dtype="int64"),
+            }
         )
 
     pairs = (
@@ -407,18 +514,34 @@ def embedding_near_dups(
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["id"].tolist()
+        """Within-bucket pairwise cosine, TILED (skew guard): a hot
+        bucket costs bounded memory per tile instead of one O(b²) matmul
+        + Python pair loop."""
+        ids = g["id"].to_numpy()
         mat = np.array(g["vec"].tolist())
-        sims = mat @ mat.T
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out.append((a, b, float(sims[i, j])))
-        return pd.DataFrame(out, columns=["a", "b", "cos"]) if out else pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "cos": pd.Series([], dtype="float64")}
+        n = len(ids)
+        tile = 2048
+        rows = {"a": [], "b": [], "cos": []}
+        for i0 in range(0, n, tile):
+            mi = mat[i0 : i0 + tile]
+            for j0 in range(i0, n, tile):
+                sims = mi @ mat[j0 : j0 + tile].T
+                pi, pj = np.nonzero(sims >= threshold)
+                gi, gj = pi + i0, pj + j0
+                keep = gi < gj
+                ia, ib = ids[gi[keep]], ids[gj[keep]]
+                rows["a"].append(np.minimum(ia, ib))
+                rows["b"].append(np.maximum(ia, ib))
+                rows["cos"].append(sims[pi[keep], pj[keep]])
+        a = np.concatenate(rows["a"]) if rows["a"] else np.array([], dtype=np.int64)
+        b = np.concatenate(rows["b"]) if rows["b"] else np.array([], dtype=np.int64)
+        c = np.concatenate(rows["cos"]) if rows["cos"] else np.array([], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "a": pd.Series(a, dtype="int64"),
+                "b": pd.Series(b, dtype="int64"),
+                "cos": pd.Series(c, dtype="float64"),
+            }
         )
 
     pairs = (

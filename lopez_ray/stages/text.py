@@ -161,8 +161,12 @@ class LangId:
 
 class Fingerprint:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    rolling Karp-Rabin hashes over token k-grams, per-window minima kept.
-    Emits ``fingerprints: list<int64>`` + ``fp_min: int64`` per doc."""
+    k-gram hashes over tokens, per-window minima kept. Emits
+    ``fingerprints: list<int64>`` + ``fp_min: int64`` per doc.
+
+    The gram hash is the oracle-shared md5-derived u64 (hash.md5_u64) so
+    ``fp_min`` — min over window minima ≡ min over all gram hashes — has
+    an exact DuckDB oracle (pipelines/queries.SQL_FINGERPRINT)."""
 
     def __init__(self, k: int = 5, window: int = 4, text_col: str = "text"):
         self.k = k
@@ -174,14 +178,14 @@ class Fingerprint:
         toks = self.token_re.findall(text.lower())
         if len(toks) < self.k:
             return []
-        from ..hash import siphash24_batch
+        from ..hash import md5_u64_batch
 
         grams = [
             " ".join(toks[i : i + self.k]).encode()
             for i in range(len(toks) - self.k + 1)
         ]
         # deterministic across processes (unlike builtin hash())
-        hashes = (siphash24_batch(grams) >> np.uint64(1)).astype(np.int64)
+        hashes = (md5_u64_batch(grams) >> np.uint64(1)).astype(np.int64)
         n = len(hashes)
         if n <= self.window:
             return [int(hashes.min())]
