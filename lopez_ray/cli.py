@@ -117,6 +117,7 @@ def cmd_test(args) -> int:
         paths["corpus"],
         max_hits_per_sec=params.max_hits_per_sec,
         request_timeout=params.request_timeout,
+        max_body_size=params.max_body_size,
     )
     batch = pa.table(
         {

@@ -95,6 +95,7 @@ class FetchStage:
         enforce_politeness: bool = True,
         web_index_ref=None,
         corpus_index_ref=None,
+        max_body_size: int = 10_000_000,
     ):
         # The web and corpus fixtures arrive as ObjectRefs to ARROW TABLES
         # put in plasma ONCE by the driver — every actor on a node then
@@ -123,6 +124,7 @@ class FetchStage:
         self.agent = user_agent
         self.max_hits_per_sec = max_hits_per_sec
         self.request_timeout = request_timeout
+        self.max_body_size = max_body_size
         self.enforce_politeness = enforce_politeness
         self.robots_cache: dict[str, RobotExclusion | None] = {}
         self.last_hit: dict[str, float] = {}
@@ -261,6 +263,14 @@ class FetchStage:
                 idx = corpus_of.get(int(idxs[pos]), -1)
                 cap = self._cap_arr[idx].as_py() if idx >= 0 else None
                 html = render_page(url, row["links"], row["canonical"], cap, image_id)
+                # max_body_size truncation (reference crawler/downloader/
+                # mod.rs:114-135: body bytes past the cap are cut, then
+                # the truncated buffer is decoded lossily) — a too-big
+                # page PARSES DIFFERENTLY, it doesn't error.
+                if len(html) * 4 > self.max_body_size:  # cheap UTF-8 bound
+                    body = html.encode("utf-8")
+                    if len(body) > self.max_body_size:
+                        html = body[: self.max_body_size].decode("utf-8", "replace")
                 out["outcome"].append("success")
                 out["status_code"].append(code)
                 out["html"].append(html)

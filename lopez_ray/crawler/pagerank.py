@@ -27,6 +27,88 @@ import numpy as np
 import pyarrow as pa
 
 
+def harvest_edges(wave_dir: str, reason: str = "ahref"):
+    """Closed→closed link edges from a crawl's wave output, as a Ray
+    Dataset (from_id, to_id) — the linkage.sql feed. Fully distributed:
+    one vectorized ``map_batches`` explode per wave block, target ids
+    taken from the crawl-time ``link_pids`` column (no URL re-hashing;
+    falls back to a vectorized hash of ``link_urls`` for pre-column
+    outputs), and the closed-id membership test is a broadcast sorted
+    int64 array + searchsorted — no driver-side row loops anywhere."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    status = pq.read_table(
+        os.path.join(wave_dir, "status.parquet"),
+        columns=["page_id", "search_status"],
+    )
+    closed = np.sort(
+        status.filter(pc.equal(status["search_status"], "closed"))["page_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    closed_ref = ray.put(closed)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = ray.get(closed_ref)
+
+        def member(v: np.ndarray) -> np.ndarray:
+            if len(keys) == 0:
+                return np.zeros(len(v), dtype=bool)
+            pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+            return keys[pos] == v
+
+        pids = batch["page_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "link_pids" in batch.column_names:
+            lists = batch["link_pids"]
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            to_id = (
+                pc.list_flatten(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            from ..hash import page_ids
+
+            lists = batch["link_urls"]
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            flat = pc.list_flatten(lists)
+            to_id = (
+                page_ids(flat.to_pylist()).view(np.int64)
+                if len(flat)
+                else np.array([], dtype=np.int64)
+            )
+        counts = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+            zero_copy_only=False
+        )
+        from_id = np.repeat(pids, counts)
+        reasons = pc.list_flatten(batch["link_reasons"])
+        mask = (
+            (reasons.to_numpy(zero_copy_only=False) == reason)
+            & member(from_id)
+            & member(to_id)
+        )
+        return pa.table(
+            {
+                "from_id": pa.array(from_id[mask], pa.int64()),
+                "to_id": pa.array(to_id[mask], pa.int64()),
+            }
+        )
+
+    wave_paths = sorted(glob.glob(os.path.join(wave_dir, "wave=*", "*.parquet")))
+    schema = pq.read_schema(wave_paths[0])
+    cols = ["page_id", "link_urls", "link_reasons"]
+    if "link_pids" in schema.names:
+        cols = ["page_id", "link_pids", "link_reasons"]
+    waves = rd.read_parquet(wave_paths, columns=cols)
+    return waves.map_batches(explode, batch_format="pyarrow")
+
+
 def power_iteration(
     edges: np.ndarray, iterations: int = 8, damping: float = 0.85
 ) -> tuple[np.ndarray, np.ndarray]:

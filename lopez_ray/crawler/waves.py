@@ -85,6 +85,7 @@ def _push_fn(shard_handles: list, n_shards: int):
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         futures = []
+        link_pid_col = None
         if n:
             page_hosts = hosts_of_batch(batch["url"])
             page_shards = page_ids(page_hosts) % n_shards
@@ -110,6 +111,13 @@ def _push_fn(shard_handles: list, n_shards: int):
                 depths = batch["depth"].to_numpy()
                 link_depths = np.repeat(depths + 1, counts)
                 link_pids = page_ids(link_urls)
+                # Persist link target ids alongside the wave output so
+                # edge harvesting (pagerank) never re-hashes URLs.
+                offsets = np.zeros(n + 1, dtype=np.int32)
+                np.cumsum(counts, out=offsets[1:])
+                link_pid_col = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(link_pids.view(np.int64))
+                )
                 link_hosts = hosts_of_batch(flat)
                 link_shards = page_ids(link_hosts) % n_shards
                 order = np.argsort(link_shards, kind="stable")
@@ -130,6 +138,9 @@ def _push_fn(shard_handles: list, n_shards: int):
             ]
             ray.get(futures)
         # Payload bytes end here: drop before the write stage.
+        if link_pid_col is None:
+            link_pid_col = pa.nulls(n, pa.list_(pa.int64()))
+        batch = batch.append_column("link_pids", link_pid_col)
         return batch.drop_columns(
             [c for c in ("html", "bytes") if c in batch.column_names]
         )
@@ -252,6 +263,7 @@ class CrawlJob:
                 enforce_politeness=self.enforce_politeness,
                 web_index_ref=web_index_ref,
                 corpus_index_ref=corpus_index_ref,
+                max_body_size=self.params.max_body_size,
             )
             for _ in range(self.n_fetchers)
         ]

@@ -911,33 +911,21 @@ def q_crawl_bfs(sf_dir: str):
 
 
 def q_crawl_pagerank(sf_dir: str):
-    import glob
-
-    import pyarrow.parquet as pq
-
-    from ..crawler.pagerank import power_iteration
-    from ..hash import page_id as pid_of
+    """Reference-parity PageRank (single-process numpy engine) over the
+    crawl's closed→closed ahref edges. Edge harvesting is the shared
+    distributed ``harvest_edges`` Dataset (vectorized explode + broadcast
+    searchsorted closed filter); only the final edge LIST materializes,
+    because the parity engine is by construction whole-graph numpy — the
+    scale path is q_pagerank_distributed."""
+    from ..crawler.pagerank import harvest_edges, power_iteration
 
     q_crawl_bfs(sf_dir)  # ensure the crawl ran
     out_dir = _crawl_out_dir(sf_dir)
-    status = pq.read_table(os.path.join(out_dir, "wave", "status.parquet"))
-    closed = {
-        p
-        for p, s in zip(
-            status["page_id"].to_pylist(), status["search_status"].to_pylist()
-        )
-        if s == "closed"
-    }
-    edges = []
-    for f in sorted(glob.glob(os.path.join(out_dir, "wave", "wave=*", "*.parquet"))):
-        t = pq.read_table(f, columns=["page_id", "link_urls", "link_reasons"])
-        for row in t.to_pylist():
-            if row["page_id"] not in closed:
-                continue
-            for url, reason in zip(row["link_urls"], row["link_reasons"]):
-                if reason == "ahref" and pid_of(url) in closed:
-                    edges.append((row["page_id"], pid_of(url)))
-    nodes, ranks = power_iteration(np.array(edges, dtype=np.int64).reshape(-1, 2))
+    edges_df = harvest_edges(os.path.join(out_dir, "wave")).to_pandas()
+    edges = np.column_stack(
+        [edges_df["from_id"].to_numpy(), edges_df["to_id"].to_numpy()]
+    ).astype(np.int64)
+    nodes, ranks = power_iteration(edges)
     return pa.table(
         {
             "page_id": pa.array(nodes, pa.int64()),
@@ -1080,43 +1068,14 @@ qualify row_number() over (partition by text order by doc_id) = 1
 def q_pagerank_distributed(sf_dir: str):
     """The distributed PageRank path (iterative map_batches partial
     contributions + groupby(to_id) shuffle) over the crawl's harvested
-    ahref edges — same graph as crawl_pagerank, different engine."""
-    import glob
-
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from ..crawler.pagerank import pagerank_ray
-    from ..hash import page_id as pid_of
+    ahref edges — same graph as crawl_pagerank, different engine. The
+    edge feed is the ``harvest_edges`` Dataset end-to-end: no edge list
+    or status table ever materializes on the driver."""
+    from ..crawler.pagerank import harvest_edges, pagerank_ray
 
     q_crawl_bfs(sf_dir)  # ensure the crawl ran
     out_dir = _crawl_out_dir(sf_dir)
-    status = pq.read_table(os.path.join(out_dir, "wave", "status.parquet"))
-    closed = {
-        p
-        for p, s in zip(
-            status["page_id"].to_pylist(), status["search_status"].to_pylist()
-        )
-        if s == "closed"
-    }
-    rows = {"from_id": [], "to_id": []}
-    for f in sorted(glob.glob(os.path.join(out_dir, "wave", "wave=*", "*.parquet"))):
-        t = pq.read_table(f, columns=["page_id", "link_urls", "link_reasons"])
-        for row in t.to_pylist():
-            if row["page_id"] not in closed:
-                continue
-            for url, reason in zip(row["link_urls"], row["link_reasons"]):
-                if reason == "ahref" and pid_of(url) in closed:
-                    rows["from_id"].append(row["page_id"])
-                    rows["to_id"].append(pid_of(url))
-    edges = rd.from_arrow(
-        pa.table(
-            {
-                "from_id": pa.array(rows["from_id"], pa.int64()),
-                "to_id": pa.array(rows["to_id"], pa.int64()),
-            }
-        )
-    )
+    edges = harvest_edges(os.path.join(out_dir, "wave"))
     out = pagerank_ray(edges)
     return pa.table(
         {

@@ -263,6 +263,56 @@ def test_salted_politeness_preserves_host_rate():
     assert out.num_rows == 8 and set(out["outcome"].to_pylist()) == {"success"}
 
 
+def test_max_body_size_truncation():
+    """Reference crawler/downloader/mod.rs:114-135: body bytes past
+    max_body_size are cut and the truncated buffer decoded lossily —
+    an oversized page PARSES DIFFERENTLY, it does not error."""
+    import pyarrow as pa
+
+    from lopez_ray.crawler.fetch import FetchStage
+    from lopez_ray.html.cssselect import compile_selector
+    from lopez_ray.html.dom import parse_html
+
+    a_sel = compile_selector("a[href]")
+    links = [f"https://a.test/l/{i}" for i in range(100)]
+    web = pa.table(
+        {
+            "url": pa.array(["https://a.test/big"]),
+            "host": pa.array(["a.test"]),
+            "status_code": pa.array([200], pa.int32()),
+            "redirect_to": pa.array([None], pa.string()),
+            "links": pa.array([links], pa.list_(pa.string())),
+            "canonical": pa.array([None], pa.string()),
+            "image_id": pa.array([None], pa.string()),
+            "latency_ms": pa.array([1], pa.int32()),
+        }
+    )
+    batch = pa.table(
+        {
+            "url": web["url"],
+            "page_id": pa.array([1], pa.int64()),
+            "depth": pa.array([0], pa.int32()),
+            "seq": pa.array([0], pa.int64()),
+        }
+    )
+
+    def n_anchors(html: str) -> int:
+        return sum(1 for _ in parse_html(html).select(a_sel))
+
+    full = FetchStage(web, {}, None, enforce_politeness=False)(batch)
+    assert full["outcome"][0].as_py() == "success"
+    assert n_anchors(full["html"][0].as_py()) == 100
+
+    cap = 600
+    trunc = FetchStage(web, {}, None, enforce_politeness=False, max_body_size=cap)(
+        batch
+    )
+    assert trunc["outcome"][0].as_py() == "success"  # truncation ≠ error
+    html = trunc["html"][0].as_py()
+    assert len(html.encode("utf-8")) <= cap
+    assert 0 < n_anchors(html) < 100  # parses, but sees fewer links
+
+
 def test_salting_assignment_deterministic_and_bounded():
     """waves.py salting: k grows with per-host wave share, salt derived
     from page_id — deterministic across runs."""
