@@ -42,6 +42,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from lopez_ray.pipelines.queries import ORACLES
+    from lopez_ray.pipelines.queries import build_oracles
 
-    return dict(ORACLES)
+    return build_oracles()

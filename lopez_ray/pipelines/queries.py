@@ -866,17 +866,72 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    from ..stages.dedup import embedding_near_dups
+    """Embedding near-dup LSH with a SELF-MEASURED recall: the multi-table
+    hyperplane-LSH pair set vs the exact brute-force pair set on the same
+    input. The synthetic embeddings have no ≥0.9-cos near-dups at any SF
+    (max cos ≈ 0.6), so the query operates at threshold 0.4 where real
+    pairs exist, and reports one row {n_lsh_pairs, n_true_pairs, recall}
+    — a checkable number instead of an unverifiable (possibly empty)
+    pair list. Precision is 1.0 by construction (pairs are
+    cosine-verified in-bucket). 4 planes × 8 tables ⇒ expected recall
+    1-(1-p⁴)⁸ ≈ 0.75 at cos 0.4; the gate asserts ≥ 0.5."""
+    from ..stages.dedup import brute_force_cosine_pairs, embedding_near_dups
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dups(ds, threshold=0.9)
+    threshold = 0.4
+    lsh = embedding_near_dups(
+        ds, threshold=threshold, n_planes=4, n_tables=8
+    ).to_pandas()  # tiny: one row per near-dup pair
+    truth = brute_force_cosine_pairs(ds, threshold)
+    n_true = truth.num_rows
+    recall = float(len(lsh)) / n_true if n_true else 1.0
+    return pa.table(
+        {
+            "n_lsh_pairs": pa.array([len(lsh)], pa.int64()),
+            "n_true_pairs": pa.array([n_true], pa.int64()),
+            "recall": pa.array([round(recall, 4)], pa.float64()),
+        }
+    )
+
+
+def q_embedding_pair_truth(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.4 (the brute-force baseline the LSH
+    recall is measured against), distributed as block × broadcast-corpus
+    matmuls. Fully SQL-expressible → DuckDB cross-join oracle."""
+    from ..stages.dedup import brute_force_cosine_pairs
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_cosine_pairs(ds, 0.4)
+    return _round_col(out, "cos", 4)
+
+
+SQL_EMBEDDING_PAIR_TRUTH = """
+select e1.vec_id as a, e2.vec_id as b,
+       round(list_cosine_similarity(e1.embedding::double[], e2.embedding::double[]), 4) as cos
+from embeddings e1 join embeddings e2 on e1.vec_id < e2.vec_id
+where list_cosine_similarity(e1.embedding::double[], e2.embedding::double[]) >= 0.4
+order by a, b
+"""
 
 
 def q_ann_ivf(sf_dir: str):
-    from ..stages.ann import ivf_topk
+    """IVF top-k with a SELF-MEASURED recall column: per query, the
+    fraction of the exact brute-force top-k the probed lists retrieved
+    (ties at the k-th score counted generously). The approximate result
+    has no SQL oracle by nature; the recall column is the checkable
+    number in its place."""
+    from ..stages.ann import brute_force_topk, ivf_topk
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, _query_matrix(sf_dir), k=10)
+    q = _query_matrix(sf_dir)
+    ivf = ivf_topk(ds, q, k=10).to_pandas()
+    true = brute_force_topk(ds, q, k=10).to_pandas()
+    recall_of = {}
+    for qi, g in true.groupby("query_idx"):
+        got = set(ivf.loc[ivf["query_idx"] == qi, "vec_id"])
+        recall_of[qi] = round(len(got & set(g["vec_id"])) / len(g), 4)
+    ivf["recall"] = ivf["query_idx"].map(recall_of).astype("float64")
+    return pa.Table.from_pandas(ivf, preserve_index=False)
 
 
 def _crawl_out_dir(sf_dir: str) -> str:
@@ -907,7 +962,7 @@ def q_crawl_bfs(sf_dir: str):
             batch_size=64,
         )
         job.run()
-    return pq.read_table(status_path)
+    return pq.read_table(status_path).sort_by("page_id")
 
 
 def q_crawl_pagerank(sf_dir: str):
@@ -1137,6 +1192,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "embedding_dups": q_embedding_dups,
+    "embedding_pair_truth": q_embedding_pair_truth,
     "ann_ivf": q_ann_ivf,
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
@@ -1169,4 +1225,79 @@ ORACLES = {
     "minhash_pairs": _sql_minhash_pairs(),
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "embedding_pair_truth": SQL_EMBEDDING_PAIR_TRUTH,
 }
+
+
+def _crawl_oracle_sqls() -> dict[str, str]:
+    """DuckDB oracles for the crawl family: run the single-process sim
+    (``crawler/sim_oracle.py`` — DuckDB fetch.sql frontier + dict merge +
+    dense-matrix PageRank, independent of every distributed code path),
+    persist its status/rank tables as parquet, and compare via
+    read_parquet(). Idempotent and lazy — the sim only runs when the
+    artifacts are missing, so importing this module stays cheap."""
+    from ..crawler.sim_oracle import write_oracle_artifacts
+    from ..fixtures.gen import generate
+
+    paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
+    arts = write_oracle_artifacts(
+        CRAWL_CONFIG,
+        paths,
+        "/tmp/lopez_ray_oracle/t1_q200_b64",
+        batch_size=64,
+    )
+    status_sql = (
+        "select url, page_id, search_status, status_code, depth "
+        f"from read_parquet('{arts['status']}') order by page_id"
+    )
+    rank_sql = (
+        "select page_id, rank "
+        f"from read_parquet('{arts['pagerank']}') order by page_id"
+    )
+    return {
+        "crawl_bfs": status_sql,
+        "crawl_pagerank": rank_sql,
+        "pagerank_distributed": rank_sql,
+    }
+
+
+def _fixture_oracle_sqls() -> dict[str, str]:
+    """DuckDB oracles for the fixture-driven queries, expressed over the
+    generator's parquet ground truth via read_parquet():
+    - analyze_rules: every rule output is derivable from the web/corpus
+      columns the renderer consumed (title from the url, link counts from
+      the links list, caption + pretty's trailing newline + the capture
+      regex from the corpus caption) — so DuckDB recomputes the DSL
+      pipeline's answers without parsing HTML.
+    - multimodal_decode: the generator wrote each image's true w/h/phash
+      next to the encoded bytes; the engine must recover exactly those by
+      actually decoding, making stored-vs-decoded a real codec check."""
+    from ..fixtures.gen import generate
+
+    paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
+    web, corpus = paths["web"], paths["corpus"]
+    analyze_sql = f"""
+select w.url,
+       'Page ' || w.url as "rule.title",
+       cast(length(list_filter(w.links, x -> x is not null)) as double) as "rule.n-links",
+       cast(length(list_distinct(list_filter(w.links, x -> x is not null))) as double) as "rule.distinct-links",
+       c.caption || chr(10) as "rule.caption",
+       nullif(regexp_extract(c.caption, '([a-z]+)$', 1), '') as "rule.cap-words"
+from read_parquet('{web}') w
+left join read_parquet('{corpus}') c on w.image_id = c.image_id
+where w.status_code = 200
+order by w.url
+"""
+    decode_sql = f"""
+select image_id, true as decode_ok, w as dec_w, h as dec_h,
+       phash as dec_phash
+from read_parquet('{corpus}') order by image_id
+"""
+    return {"analyze_rules": analyze_sql, "multimodal_decode": decode_sql}
+
+
+def build_oracles() -> dict[str, str]:
+    out = dict(ORACLES)
+    out.update(_crawl_oracle_sqls())
+    out.update(_fixture_oracle_sqls())
+    return out

@@ -56,16 +56,21 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per identical content. Returns a Dataset of
-    (content_hash, doc_id=min, n=group size)."""
-    from ray.data.aggregate import Count, Min
+    (content_hash, doc_id=min, n=group size). Distinct hashes are
+    O(corpus), so the reduce is the partitioned C-speed shuffle
+    (stages/shuffle.py), not a Ray aggregate."""
+    from .shuffle import partitioned_reduce
 
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, col).select([id_col, "content_hash"]),
         batch_format="pyarrow",
     )
-    return (
-        hashed.groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n"))
+    return partitioned_reduce(
+        hashed,
+        ["content_hash"],
+        lambda g: g.groupby("content_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n": (id_col, "size")}
+        ),
     )
 
 
@@ -171,7 +176,6 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
     At corpus scale step 3 becomes a hash-partitioned semi-join keyed on
     band_hash (same shuffle key as the bucket groupby)."""
     import ray
-    from ray.data.aggregate import Count
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -188,11 +192,19 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
     # store beats recomputing the signatures.
     banded = banded.materialize()
 
-    counts = banded.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="n")
-    )
-    dup_keys = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], 2)), batch_format="pyarrow"
+    # Bucket occupancy: |docs|×bands distinct (band, band_hash) keys →
+    # partitioned C-speed count (stages/shuffle.py), with the ≥2 filter
+    # pushed inside the reduce so only survivor keys leave the shuffle.
+    from .shuffle import partitioned_reduce
+
+    def _count_survivor_keys(g):
+        c = g.groupby(["band", "band_hash"], as_index=False).size()
+        return c[c["size"] >= 2].rename(columns={"size": "n"})
+
+    dup_keys = partitioned_reduce(
+        banded.select_columns(["band", "band_hash"]),
+        ["band", "band_hash"],
+        _count_survivor_keys,
     ).to_pandas()
     if len(dup_keys) == 0:
         return None
@@ -234,7 +246,13 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
         bucket_pairs, batch_format="pandas"
     )
     # distinct pairs (a bucket collision in several bands duplicates pairs)
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    return partitioned_reduce(
+        pairs,
+        ["a", "b"],
+        lambda g: g.groupby(["a", "b"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_bands"}),
+    )
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -274,13 +292,18 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
     pairs = cands.to_pandas()  # tiny: one row per candidate pair
     if len(pairs) == 0:
         return empty
-    cand_ids = set(pairs["a"]) | set(pairs["b"])
+    cand_ids = np.unique(
+        np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+    ).astype(np.int64)  # sorted — broadcast for a searchsorted semi-join
     ids_ref = ray.put(cand_ids)
 
     def pull_texts(batch: pa.Table) -> pa.Table:
         wanted = ray.get(ids_ref)
-        mask = pa.array([i in wanted for i in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
+        probe = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(wanted, probe), len(wanted) - 1)
+        return batch.filter(pa.array(wanted[pos] == probe)).select(
+            [id_col, text_col]
+        )
 
     texts_tbl = pa.concat_tables(
         [
@@ -474,9 +497,15 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
         .groupby(["band", "key"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    from ray.data.aggregate import Min
+    # pair-dedup across bands: O(pairs) distinct keys → partitioned
+    # C-speed reduce, not a Ray aggregate (see stages/shuffle.py)
+    from .shuffle import partitioned_reduce
 
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return partitioned_reduce(
+        pairs,
+        ["a", "b"],
+        lambda g: g.groupby(["a", "b"], as_index=False)["hamming"].min(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -488,28 +517,44 @@ def embedding_near_dups(
     ds,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 5,
 ):
     """Random-hyperplane LSH buckets → within-bucket pairwise cosine.
-    Docs with cos >= threshold and equal sign-pattern are found; multiple
-    rotated plane sets would raise recall at scale (documented knob)."""
+
+    Multi-table LSH: each of ``n_tables`` independent plane sets hashes
+    every vector into its own bucket space (bucket key = table_id in the
+    high bits); a pair is a candidate if it collides in ANY table, so
+    recall is 1-(1-p^n_planes)^n_tables for p = 1-θ/π. Fewer planes ⇒
+    bigger buckets ⇒ more verify work; more tables ⇒ proportionally more
+    shuffle rows — the standard LSH dials, both exposed. Precision is
+    exact: every emitted pair is cosine-verified inside its bucket."""
     import pandas as pd
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        n = len(vecs)
         # same seed in every task → identical planes across batches
-        planes_local = np.random.default_rng(seed).normal(size=(vecs.shape[1], n_planes))
-        signs = (vecs @ planes_local) > 0
-        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        planes_local = np.random.default_rng(seed).normal(
+            size=(n_tables, vecs.shape[1], n_planes)
+        )
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         normed = vecs / np.maximum(norms, 1e-12)
+        keys = np.empty((n_tables, n), dtype=np.int64)
+        for t in range(n_tables):
+            signs = (vecs @ planes_local[t]) > 0
+            keys[t] = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            keys[t] |= t << n_planes  # disjoint bucket space per table
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "id": batch[id_col].cast(pa.int64()),
-                "bucket": pa.array(keys, pa.int64()),
-                "vec": pa.array(list(normed), pa.list_(pa.float64())),
+                "id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "bucket": pa.array(keys.reshape(-1), pa.int64()),
+                "vec": pa.array(
+                    list(np.tile(normed, (n_tables, 1))), pa.list_(pa.float64())
+                ),
             }
         )
 
@@ -549,6 +594,85 @@ def embedding_near_dups(
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    from ray.data.aggregate import Max
+    # pair-dedup across tables/buckets: partitioned C-speed reduce
+    from .shuffle import partitioned_reduce
 
-    return pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+    return partitioned_reduce(
+        pairs,
+        ["a", "b"],
+        lambda g: g.groupby(["a", "b"], as_index=False)["cos"].max(),
+    )
+
+
+def brute_force_cosine_pairs(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """EXACT all-pairs cosine ≥ threshold — the verification baseline the
+    LSH path's recall is measured against. Distributed as block ×
+    broadcast-corpus matmuls (each batch scores against the full
+    normalized matrix shipped once via ``ray.put``), so compute is spread
+    over the cluster; the corpus matrix itself is O(n·d) and pinned per
+    node, which caps this at verification-sample scale by design —
+    quadratic all-pairs at 100 TB is exactly what the LSH path exists to
+    avoid."""
+    import ray
+
+    mats, idss = [], []
+    for b in ds.map_batches(
+        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        v = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        mats.append(v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12))
+        idss.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not mats:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    full = np.concatenate(mats)
+    all_ids = np.concatenate(idss)
+    full_ref = ray.put((all_ids, full))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(full_ref)
+        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        my = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = v @ mat.T
+        pi, pj = np.nonzero(sims >= threshold)
+        a, b_ = my[pi], ids_all[pj]
+        keep = a < b_  # each unordered pair emitted by exactly one side
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b_[keep], pa.int64()),
+                "cos": pa.array(sims[pi[keep], pj[keep]], pa.float64()),
+            }
+        )
+
+    out = pa.concat_tables(
+        [
+            t
+            for t in (
+                ray.get(r)
+                for r in ds.map_batches(score, batch_format="pyarrow").to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        or [
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        ]
+    )
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])

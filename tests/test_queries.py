@@ -71,15 +71,14 @@ def test_entry_smoke(entry_mod):
     }
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "doc_stats", "lang_counts", "dedup_exact", "capture", "matches_replace",
-        "events_window", "events_sessions", "lineitem_pricing",
-        "orders_by_segment", "suppliers_per_region", "ann_bruteforce",
-        "embedding_norms", "top_orders", "parts_by_brand",
-    ],
-)
+def _oracled_names():
+    # collection-time: every oracled query, incl. the lazy crawl trio
+    from lopez_ray.pipelines.queries import ORACLES
+
+    return sorted(set(ORACLES) | {"crawl_bfs", "crawl_pagerank", "pagerank_distributed"})
+
+
+@pytest.mark.parametrize("name", _oracled_names())
 def test_query_vs_oracle(entry_mod, oracle_con, sf_dir, name):
     ray_df = to_df(entry_mod.queries()[name](sf_dir))
     sql_df = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
@@ -92,17 +91,21 @@ def test_query_vs_oracle(entry_mod, oracle_con, sf_dir, name):
 
 @pytest.mark.parametrize(
     "name",
-    [
-        "siphash", "pretty", "langid", "quality", "fingerprint", "simhash",
-        "embedding_dups", "ann_ivf", "multimodal_decode", "analyze_rules",
-        "curate", "simhash_pairs", "pagerank_distributed",
-    ],
+    ["siphash", "pretty", "multimodal_decode", "analyze_rules"],
 )
 def test_rows_only_queries(entry_mod, sf_dir, name):
     df = to_df(entry_mod.queries()[name](sf_dir))
     assert len(df) >= 0
-    if name in ("siphash", "pretty", "quality", "fingerprint", "simhash"):
+    if name in ("siphash", "pretty"):
         assert len(df) == 500
+
+
+def test_embedding_dups_reports_recall(entry_mod, sf_dir):
+    df = to_df(entry_mod.queries()["embedding_dups"](sf_dir))
+    assert list(df.columns) == ["n_lsh_pairs", "n_true_pairs", "recall"]
+    row = df.iloc[0]
+    assert row["n_true_pairs"] > 0  # the 0.4 operating point has real pairs
+    assert row["recall"] >= 0.5  # documented multi-table LSH gate
 
 
 def test_minhash_query_runs(entry_mod, sf_dir):
@@ -113,6 +116,7 @@ def test_minhash_query_runs(entry_mod, sf_dir):
 def test_ivf_recall_vs_bruteforce(entry_mod, sf_dir):
     bf = to_df(entry_mod.queries()["ann_bruteforce"](sf_dir))
     ivf = to_df(entry_mod.queries()["ann_ivf"](sf_dir))
+    assert "recall" in ivf.columns  # self-measured, driver-visible
     recall_num = recall_den = 0
     for qi in bf["query_idx"].unique():
         truth = set(bf[bf.query_idx == qi]["vec_id"])
@@ -120,6 +124,7 @@ def test_ivf_recall_vs_bruteforce(entry_mod, sf_dir):
         recall_num += len(truth & got)
         recall_den += len(truth)
     assert recall_num / recall_den >= 0.5  # nprobe=4/16 partial scan
+    assert (ivf["recall"] >= 0.3).all()  # per-query floor
 
 
 def test_crawl_queries(entry_mod, sf_dir):
