@@ -149,14 +149,15 @@ def pagerank_ray(
         deg[np.searchsorted(all_ids, ids)] = counts
         return pa.table({"node": all_ids, "deg": deg})
 
-    from ray.data.aggregate import Sum
+    from ..stages.shuffle import partitioned_reduce
 
-    deg_table = (
-        edges_ds.map_batches(degree_batch, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("deg", alias_name="deg"))
-        .to_pandas()
-    )
+    # O(nodes) distinct keys → partitioned C-speed reduce, not a Ray
+    # aggregate (stages/shuffle.py).
+    deg_table = partitioned_reduce(
+        edges_ds.map_batches(degree_batch, batch_format="pyarrow"),
+        ["node"],
+        lambda g: g.groupby("node", as_index=False)["deg"].sum(),
+    ).to_pandas()
     nodes = deg_table["node"].to_numpy(dtype=np.int64)
     order = np.argsort(nodes)
     nodes = nodes[order]
@@ -184,12 +185,11 @@ def pagerank_ray(
             np.add.at(partial, inv, share[fi])
             return pa.table({"to_id": tu, "contrib": partial})
 
-        agg = (
-            edges_ds.map_batches(contrib_batch, batch_format="pyarrow")
-            .groupby("to_id")
-            .aggregate(Sum("contrib", alias_name="contrib"))
-            .to_pandas()
-        )
+        agg = partitioned_reduce(
+            edges_ds.map_batches(contrib_batch, batch_format="pyarrow"),
+            ["to_id"],
+            lambda g: g.groupby("to_id", as_index=False)["contrib"].sum(),
+        ).to_pandas()
         contrib = np.zeros(n)
         ti = np.searchsorted(nodes, agg["to_id"].to_numpy(dtype=np.int64))
         contrib[ti] = agg["contrib"].to_numpy()

@@ -10,7 +10,11 @@ driver — r1's winner-set broadcast + to_pandas() is gone):
     → map_batches(LangId, actor pool)            vectorized RE2 kernels
     → filter(quality ≥ min_quality, lang ∈ set)  arrow kernels
     → content-hash + per-batch partial group_by  combiner before shuffle
-    → groupby(content_hash).aggregate(Min ...)   ONE dedup shuffle
+    → partitioned_reduce(content_hash, min)      ONE dedup shuffle
+                                                 (bounded-cardinality
+                                                 partition key + C-speed
+                                                 pandas reduce per part;
+                                                 see stages/shuffle.py)
     → write_parquet(out_dir, partition by lang)  one directory per lang —
                                                  a rerun skips finished
                                                  partitions (resumable,
@@ -43,7 +47,6 @@ def curate(
     it partitioned by predicted language when out_dir is given)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     from ..stages.dedup import add_content_hash
     from ..stages.text import LangId, quality_score, text_stats
@@ -105,16 +108,14 @@ def curate(
             }
         )
 
-    deduped = (
-        scored.map_batches(keep_and_combine, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(
-            Min("doc_id", alias_name="doc_id"),
-            Min("lang_idx", alias_name="lang_idx"),
-            Min("quality", alias_name="quality"),
-            Min("n_tokens", alias_name="n_tokens"),
-            Min("n_chars", alias_name="n_chars"),
-        )
+    # ONE dedup shuffle with O(corpus) distinct hashes → partitioned
+    # C-speed reduce (stages/shuffle.py), not a Ray aggregate.
+    from ..stages.shuffle import partitioned_reduce
+
+    deduped = partitioned_reduce(
+        scored.map_batches(keep_and_combine, batch_format="pyarrow"),
+        ["content_hash"],
+        lambda g: g.groupby("content_hash", as_index=False).min(),
     )
 
     def finish(b: pa.Table) -> pa.Table:

@@ -250,25 +250,28 @@ from events group by 1, 2
 
 
 def q_events_sessions(sf_dir: str):
-    """Session windows (30-min gap) per user: sort-within-group
-    map_groups; counts sessions and events per user."""
+    """Session windows (30-min gap) per user. Users are O(data), so the
+    shuffle is the partitioned reduce (stages/shuffle.py): one sort +
+    diff + groupby per PARTITION handles all of its users vectorized —
+    no per-user Python UDF (the round-1 map_groups shape)."""
     import pandas as pd
 
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().astype("int64") // 1_000_000  # seconds
-        gaps = ts.diff().fillna(0)
-        n_sessions = int((gaps > 1800).sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
+        g = g.sort_values(["user_id", "ts"])
+        sec = g["ts"].astype("int64") // 1_000_000  # seconds
+        starts = g["user_id"].ne(g["user_id"].shift()) | (sec.diff() > 1800)
+        per = pd.DataFrame(
+            {"user_id": g["user_id"], "start": starts.astype("int64")}
+        )
+        return per.groupby("user_id", as_index=False).agg(
+            n_events=("start", "size"), n_sessions=("start", "sum")
         )
 
-    grouped = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from ..stages.shuffle import partitioned_reduce
+
+    grouped = partitioned_reduce(ds, ["user_id"], sessions)
 
     # int64 canon on both sides (oracle's sum(case)+1 is HUGEINT).
     def finish(b: pa.Table) -> pa.Table:
