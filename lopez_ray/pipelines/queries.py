@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.ann import vecs_of as _vecs_of
+
 
 def _rp(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -612,7 +614,7 @@ def q_embedding_norms(sf_dir: str):
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def norms(b: pa.Table) -> pa.Table:
-        vecs = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        vecs = _vecs_of(b, "embedding")
         n = np.linalg.norm(vecs, axis=1)
         return pa.table({"label": b["label"], "norm": pa.array(n, pa.float64())})
 

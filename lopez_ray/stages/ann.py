@@ -24,6 +24,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def vecs_of(batch: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a list<float> column — zero-copy flatten of
+    the Arrow values buffer + reshape, never a Python list round-trip.
+    Assumes fixed-length lists (the embedding-table contract)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(dtype, copy=False)
+
+
 def brute_force_topk(
     ds,
     queries: np.ndarray,
@@ -40,7 +54,7 @@ def brute_force_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vecs_of(batch, vec_col)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         sims = _normalize(vecs) @ qm.T  # (n, nq)
         nq = qm.shape[0]
@@ -107,7 +121,7 @@ class IVFIndex:
         return self
 
     def assign_batch(self, batch: pa.Table, vec_col: str) -> pa.Table:
-        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(vecs_of(batch, vec_col))
         assign = np.argmax(vecs @ self.centroids.T, axis=1).astype(np.int32)
         return batch.append_column("centroid", pa.array(assign, pa.int32()))
 
@@ -135,7 +149,7 @@ def ivf_topk(
     probe_sets = [set(map(int, row)) for row in probes]
 
     def partial(batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+        vecs = _normalize(vecs_of(batch, vec_col))
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         cents = np.asarray(batch["centroid"].to_pylist(), dtype=np.int32)
         rows = {"query_idx": [], id_col: [], "score": []}

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import re
 
 from ..hash import md5_u64_batch, siphash24_batch
+from .ann import vecs_of
 
 _MERSENNE = (1 << 61) - 1
 
@@ -534,7 +535,7 @@ def embedding_near_dups(
     import pandas as pd
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vecs_of(batch, vec_col)
         n = len(vecs)
         # same seed in every task → identical planes across batches
         planes_local = np.random.default_rng(seed).normal(
@@ -624,7 +625,7 @@ def brute_force_cosine_pairs(
     for b in ds.map_batches(
         lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
-        v = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        v = vecs_of(b, vec_col)
         mats.append(v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12))
         idss.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
     if not mats:
@@ -641,7 +642,7 @@ def brute_force_cosine_pairs(
 
     def score(batch: pa.Table) -> pa.Table:
         ids_all, mat = ray.get(full_ref)
-        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = vecs_of(batch, vec_col)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         my = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = v @ mat.T
