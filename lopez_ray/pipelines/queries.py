@@ -920,16 +920,22 @@ order by a, b
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF top-k with a SELF-MEASURED recall column: per query, the
-    fraction of the exact brute-force top-k the probed lists retrieved
-    (ties at the k-th score counted generously). The approximate result
+    """IVF top-k over the LIST-PARTITIONED layout (ivf_build once per
+    corpus → centroid=K/ parquet dirs; ivf_search reads only the probed
+    partitions — real IVF read pruning, not an in-task filter), with a
+    SELF-MEASURED recall column: per query, the fraction of the exact
+    brute-force top-k the probed lists retrieved. The approximate result
     has no SQL oracle by nature; the recall column is the checkable
     number in its place."""
-    from ..stages.ann import brute_force_topk, ivf_topk
+    from ..stages.ann import brute_force_topk, ivf_build, ivf_search
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _query_matrix(sf_dir)
-    ivf = ivf_topk(ds, q, k=10).to_pandas()
+    index_dir = os.path.join(
+        "/tmp/lopez_ray_entry", "ivf-" + sf_dir.strip("/").replace("/", "_")
+    )
+    ivf_build(ds, index_dir)
+    ivf = ivf_search(index_dir, q, k=10).to_pandas()
     true = brute_force_topk(ds, q, k=10).to_pandas()
     recall_of = {}
     for qi, g in true.groupby("query_idx"):

@@ -106,6 +106,34 @@ def test_multi_table_lsh_recall(ray_session):
     assert recall_multi > recall_single
 
 
+def test_ivf_layout_search_matches_scan(ray_session, tmp_path):
+    """The list-partitioned ivf_build/ivf_search path must return exactly
+    what the in-task-filter ivf_topk returns (same centroid fit, same
+    candidate lists) while reading only the probed centroid=K/ dirs."""
+    import os
+
+    from lopez_ray.stages.ann import ivf_build, ivf_search, ivf_topk, vecs_of
+
+    ds = _embedding_ds()
+    q = vecs_of(
+        pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 3),
+        "embedding",
+    )
+    scan = ivf_topk(ds, q, k=10).to_pandas()
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, idx)
+    assert os.path.exists(os.path.join(idx, "centroid=0"))  # real layout
+    pruned = ivf_search(idx, q, k=10).to_pandas()
+    cols = ["query_idx", "vec_id"]
+    a = scan.sort_values(cols).reset_index(drop=True)
+    b = pruned.sort_values(cols).reset_index(drop=True)
+    assert a[cols].equals(b[cols])  # identical retrieved ids
+    # scores agree to BLAS reassociation noise (different batch splits)
+    assert np.allclose(a["score"], b["score"], atol=1e-12)
+
+
 def test_brute_force_cosine_pairs_exact(ray_session):
     from lopez_ray.stages.dedup import brute_force_cosine_pairs
 
