@@ -100,6 +100,18 @@ def cmd_test(args) -> int:
     boundaries = d.boundaries()
     actual_url = boundaries.clean_query_params(args.url)
     report: dict = {"actual_url": actual_url}
+    # Downloader routing (reference crawler/downloader/web_driver.rs:9-105):
+    # URLs matching a `use webdriver on "re"` pattern route to the
+    # webdriver downloader — stubbed in this sandbox (no browser), but the
+    # route decision itself is real and reported here.
+    import re as _re
+
+    wd = d.webdriver_patterns()
+    report["downloader"] = (
+        "webdriver (stubbed in sandbox; route decision only)"
+        if any(_re.search(p, actual_url) for p in wd)
+        else "simple"
+    )
     if not boundaries.is_allowed(actual_url):
         report["report"] = "DisallowedByDirectives"
         print(json.dumps(report, indent=1))
