@@ -166,17 +166,23 @@ class MinHasher:
 
 
 def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
-    """Dataset of candidate pairs (a, b) with a < b from LSH banding.
+    """Dataset of candidate pairs (a, b, n_bands) with a < b from LSH
+    banding, in exactly TWO shuffles:
 
-    Almost every band bucket is a singleton, so running a per-group UDF
-    over all buckets is ~|docs|×bands tiny pandas groups (observed ~60 s
-    at 50k docs). Instead: (1) vectorized count per (band, band_hash),
-    (2) keep buckets with >= 2 members — that survivor set is
-    O(duplicate clusters), tiny — (3) broadcast it and semi-join the
-    banded rows down to survivors, (4) pair only within those buckets.
-    At corpus scale step 3 becomes a hash-partitioned semi-join keyed on
-    band_hash (same shuffle key as the bucket groupby)."""
+    1. banded rows hash-partition on (band, band_hash) — every bucket
+       lands whole inside one partition — and each partition does
+       occupancy count → keep buckets with ≥2 members (the survivor set
+       is O(duplicate clusters), tiny) → emit within-bucket pairs, all
+       as vectorized pandas. Almost every bucket is a singleton, so no
+       per-bucket UDF ever runs over the full bucket space (the round-1
+       shape needed 3 shuffles + a driver round-trip + a broadcast
+       semi-join for the same result).
+    2. pair-dedup across bands via the same partitioned reduce.
+    """
+    import pandas as pd
     import ray
+
+    from .shuffle import partitioned_reduce
 
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -186,65 +192,28 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
         MinHasher,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling pool: tiny inputs spin up one actor, big inputs
+        # grow to the CPU budget instead of paying 16 cold starts
+        concurrency=(1, concurrency),
     )
-    # Consumed twice (bucket counts + survivor filter); the banded table
-    # is (id, band, band_hash) — ~24 B/row — so pinning it in the object
-    # store beats recomputing the signatures.
-    banded = banded.materialize()
 
-    # Bucket occupancy: |docs|×bands distinct (band, band_hash) keys →
-    # partitioned C-speed count (stages/shuffle.py), with the ≥2 filter
-    # pushed inside the reduce so only survivor keys leave the shuffle.
-    from .shuffle import partitioned_reduce
-
-    def _count_survivor_keys(g):
-        c = g.groupby(["band", "band_hash"], as_index=False).size()
-        return c[c["size"] >= 2].rename(columns={"size": "n"})
-
-    dup_keys = partitioned_reduce(
-        banded.select_columns(["band", "band_hash"]),
-        ["band", "band_hash"],
-        _count_survivor_keys,
-    ).to_pandas()
-    if len(dup_keys) == 0:
-        return None
-
-    def _combined(bands: np.ndarray, hashes: np.ndarray) -> np.ndarray:
-        # one wrapping-uint64 key per (band, band_hash) — keeps the
-        # survivor semi-join a single vectorized membership probe
-        return hashes.astype(np.uint64) * np.uint64(31) + bands.astype(np.uint64)
-
-    key_sorted = np.sort(
-        _combined(dup_keys["band"].to_numpy(), dup_keys["band_hash"].to_numpy())
-    )
-    key_ref = ray.put(key_sorted)
-
-    def keep_survivors(batch: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)  # sorted uint64, zero-copy from plasma
-        probe = _combined(
-            batch["band"].to_numpy(zero_copy_only=False),
-            batch["band_hash"].to_numpy(zero_copy_only=False),
-        )
-        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-        return batch.filter(pa.array(keys[pos] == probe))
-
-    survivors = banded.map_batches(keep_survivors, batch_format="pyarrow")
-
-    def bucket_pairs(g):
-        import pandas as pd
-
-        ids = np.sort(g[id_col].to_numpy())
-        iu, ju = np.triu_indices(len(ids), k=1)
+    def bucket_pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        g = g[sizes >= 2]  # survivor buckets only — tiny from here on
+        out_a, out_b = [], []
+        for _key, grp in g.groupby(["band", "band_hash"]):
+            ids = np.sort(grp[id_col].to_numpy())
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
         return pd.DataFrame(
-            {
-                "a": pd.Series(ids[iu], dtype="int64"),
-                "b": pd.Series(ids[ju], dtype="int64"),
-            }
+            {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64")}
         )
 
-    pairs = survivors.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = partitioned_reduce(
+        banded, ["band", "band_hash"], bucket_pairs_in_partition
     )
     # distinct pairs (a bucket collision in several bands duplicates pairs)
     return partitioned_reduce(
