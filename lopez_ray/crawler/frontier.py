@@ -293,9 +293,9 @@ class FrontierShard:
         )
         os.makedirs(directory, exist_ok=True)
         path = os.path.join(directory, f"shard-{self.shard_id}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        from ..sources.corpus import write_table
+
+        write_table(table, path)
         return path
 
     def stats(self) -> dict:

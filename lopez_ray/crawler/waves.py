@@ -470,7 +470,11 @@ class CrawlJob:
         ds = rd.from_arrow_refs(refs)
         ds = ds.map_batches(analyze, batch_format="pyarrow", batch_size=None)
         ds = ds.map_batches(push, batch_format="pyarrow", batch_size=None)
-        ds.write_parquet(os.path.join(self.wave_dir, f"wave={wave:05d}"))
+        # format seam (Lance when available, parquet fallback): the wave
+        # output goes through sources/corpus.py like every other sink
+        from ..sources.corpus import write_dataset
+
+        write_dataset(ds, os.path.join(self.wave_dir, f"wave={wave:05d}"))
         self._phase["dataset"] += time.monotonic() - tp
         if os.environ.get("LOPEZ_RAY_WAVE_STATS"):
             print(f"--- wave {wave} ({len(batch)} urls) stats ---")

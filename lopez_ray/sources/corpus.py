@@ -40,3 +40,19 @@ def write_dataset(ds, path: str) -> None:
         ds.write_lance(path)
     else:
         ds.write_parquet(path)
+
+
+def write_table(table, path: str) -> None:
+    """Single-table write through the same format predicate (used by the
+    per-shard status writers — each shard owns one slice file/fragment,
+    so the O(total-URLs) table never funnels through the driver)."""
+    if HAVE_LANCE:
+        import lance as _lance
+
+        _lance.write_dataset(table, path, mode="create")
+    else:
+        import pyarrow.parquet as pq
+
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
