@@ -1164,6 +1164,38 @@ def q_multimodal_decode(sf_dir: str):
     return out.select_columns(["image_id", "decode_ok", "dec_w", "dec_h", "dec_phash"])
 
 
+_AV_FIXTURE_DIR = "/tmp/lopez_ray_fixtures/av1"
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling pipeline over the RAWV corpus: decode the
+    container, uniformly sample N_SAMPLE frames per clip, emit per-frame
+    phash + mean luma. Oracled against the generator's encode-time
+    ground truth (read_parquet + zipped unnest) — the engine must
+    recover the stored values by actually parsing the container."""
+    import ray.data as rd
+
+    from ..fixtures.av import generate_av
+    from ..stages.av import video_pipeline
+
+    paths = generate_av(_AV_FIXTURE_DIR)
+    ds = rd.read_parquet(paths["videos"], columns=["video_id", "bytes", "fmt"])
+    return video_pipeline(ds).sort(["video_id", "frame_idx"])
+
+
+def q_audio_features(sf_dir: str):
+    """Audio feature extraction (duration/RMS/ZCR/spectral centroid)
+    over the RAWA PCM corpus; same ground-truth oracle pattern."""
+    import ray.data as rd
+
+    from ..fixtures.av import generate_av
+    from ..stages.av import audio_pipeline
+
+    paths = generate_av(_AV_FIXTURE_DIR)
+    ds = rd.read_parquet(paths["audios"], columns=["audio_id", "bytes", "fmt"])
+    return audio_pipeline(ds).sort("audio_id")
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -1208,6 +1240,8 @@ QUERIES = {
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
     "multimodal_decode": q_multimodal_decode,
+    "video_frames": q_video_frames,
+    "audio_features": q_audio_features,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -1304,7 +1338,28 @@ select image_id, true as decode_ok, w as dec_w, h as dec_h,
        phash as dec_phash
 from read_parquet('{corpus}') order by image_id
 """
-    return {"analyze_rules": analyze_sql, "multimodal_decode": decode_sql}
+    from ..fixtures.av import generate_av
+
+    av = generate_av(_AV_FIXTURE_DIR)
+    video_sql = f"""
+select video_id,
+       unnest(sampled_idx) as frame_idx,
+       unnest(sampled_ts_ms) as ts_ms,
+       unnest(sampled_phash) as phash,
+       unnest(sampled_luma) as mean_luma
+from read_parquet('{av["videos"]}')
+order by video_id, frame_idx
+"""
+    audio_sql = f"""
+select audio_id, duration_ms, rms, zcr, centroid_hz
+from read_parquet('{av["audios"]}') order by audio_id
+"""
+    return {
+        "analyze_rules": analyze_sql,
+        "multimodal_decode": decode_sql,
+        "video_frames": video_sql,
+        "audio_features": audio_sql,
+    }
 
 
 def build_oracles() -> dict[str, str]:

@@ -90,3 +90,55 @@ def test_fixtures_deterministic(tmp_path):
     assert generate(str(tmp_path / "a"), tier="t1", seed=42) == p1
     html = render_page("https://host0.test/p/0", ["/p/1"], None, "caption x", "https://host0.test/p/0")
     assert "<a href=\"/p/1\">" in html
+
+
+def test_av_container_roundtrip():
+    """RAWV/RAWA encode→decode is exact; unknown formats raise at the
+    decode seam (the honest codec stub boundary)."""
+    import numpy as np
+    import pytest
+
+    from lopez_ray.media.av import (
+        decode_audio, decode_video, encode_audio, encode_video,
+        sample_frame_indices,
+    )
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(7, 12, 10, 3)).astype(np.uint8)
+    dec, fps = decode_video(encode_video(frames, 24000), "rawv")
+    assert fps == 24000 and np.array_equal(dec, frames)
+    samples = rng.integers(-30000, 30000, size=5000).astype(np.int16)
+    ds, sr = decode_audio(encode_audio(samples, 8000), "rawa")
+    assert sr == 8000 and np.array_equal(ds, samples)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"anything", "h264")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"anything", "mp3")
+    # uniform sampling: endpoints included, sorted, bounded
+    idx = sample_frame_indices(30, 4)
+    assert idx[0] == 0 and idx[-1] == 29 and len(idx) == 4
+    assert list(sample_frame_indices(2, 4)) == [0, 1]
+
+
+def test_av_stages_drop_undecodable(ray_session):
+    """Non-strict stages skip undecodable rows; strict raises through."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from lopez_ray.media.av import encode_video
+    from lopez_ray.stages.av import FrameSampleStage
+
+    frames = np.zeros((5, 8, 8, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "video_id": pa.array(["ok", "bad"]),
+            "bytes": pa.array([encode_video(frames, 25000), b"xx"], pa.large_binary()),
+            "fmt": pa.array(["rawv", "h264"]),
+        }
+    )
+    out = FrameSampleStage(n_sample=2)(t)
+    assert set(out["video_id"].to_pylist()) == {"ok"}
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(n_sample=2, strict=True)(t)

@@ -72,10 +72,15 @@ def test_entry_smoke(entry_mod):
 
 
 def _oracled_names():
-    # collection-time: every oracled query, incl. the lazy crawl trio
+    # collection-time: every oracled query, incl. the lazily-generated
+    # crawl-sim and fixture-ground-truth oracles
     from lopez_ray.pipelines.queries import ORACLES
 
-    return sorted(set(ORACLES) | {"crawl_bfs", "crawl_pagerank", "pagerank_distributed"})
+    lazy = {
+        "crawl_bfs", "crawl_pagerank", "pagerank_distributed",
+        "analyze_rules", "multimodal_decode", "video_frames", "audio_features",
+    }
+    return sorted(set(ORACLES) | lazy)
 
 
 @pytest.mark.parametrize("name", _oracled_names())
@@ -89,15 +94,10 @@ def test_query_vs_oracle(entry_mod, oracle_con, sf_dir, name):
     assert not mismatches, f"{name}: first mismatch {a[mismatches[0]]} != {b[mismatches[0]]}"
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["siphash", "pretty", "multimodal_decode", "analyze_rules"],
-)
+@pytest.mark.parametrize("name", ["siphash", "pretty"])
 def test_rows_only_queries(entry_mod, sf_dir, name):
     df = to_df(entry_mod.queries()[name](sf_dir))
-    assert len(df) >= 0
-    if name in ("siphash", "pretty"):
-        assert len(df) == 500
+    assert len(df) == 500
 
 
 def test_embedding_dups_reports_recall(entry_mod, sf_dir):
