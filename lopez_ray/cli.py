@@ -114,7 +114,7 @@ def cmd_test(args) -> int:
     )
     if not boundaries.is_allowed(actual_url):
         report["report"] = "DisallowedByDirectives"
-        print(json.dumps(report, indent=1))
+        _emit_report(report, args)
         return 0
     web = pq.read_table(paths["web"])
     robots = {
@@ -142,7 +142,7 @@ def cmd_test(args) -> int:
     fetched = stage(batch)
     if fetched["outcome"][0].as_py() == "robots_denied":
         report["report"] = "DisallowedByOrigin"
-        print(json.dumps(report, indent=1))
+        _emit_report(report, args)
         return 0
     analyzed = AnalyzeStage(source)(fetched)
     row = analyzed.to_pylist()[0]
@@ -154,42 +154,37 @@ def cmd_test(args) -> int:
             k.removeprefix("rule."): v for k, v in row.items() if k.startswith("rule.")
         },
     }
-    print(json.dumps(report, indent=1))
+    _emit_report(report, args)
     return 0
+
+
+def _emit_report(report: dict, args) -> None:
+    """Console report by default (reference pretty_print.rs parity);
+    --json for machine output."""
+    if getattr(args, "json", False):
+        print(json.dumps(report, indent=1))
+    else:
+        from .pretty_report import pretty_print_report
+
+        pretty_print_report(report)
 
 
 def cmd_page_rank(args) -> int:
     _ray_init()
-    import glob
-
     import numpy as np
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    from .crawler.pagerank import power_iteration
-    from .hash import page_id as pid_of
+    from .crawler.pagerank import harvest_edges, power_iteration
 
-    files = sorted(glob.glob(os.path.join(args.wave_dir, "wave=*", "*.parquet")))
-    status = pq.read_table(os.path.join(args.wave_dir, "status.parquet"))
-    closed = {
-        pid
-        for pid, st in zip(
-            status["page_id"].to_pylist(), status["search_status"].to_pylist()
-        )
-        if st == "closed"
-    }
-    edges = []
-    for f in files:
-        t = pq.read_table(f, columns=["page_id", "link_urls", "link_reasons"])
-        for row in t.to_pylist():
-            if row["page_id"] not in closed:
-                continue
-            for url, reason in zip(row["link_urls"], row["link_reasons"]):
-                if reason == "ahref":
-                    to = pid_of(url)
-                    if to in closed:
-                        edges.append((row["page_id"], to))
-    nodes, ranks = power_iteration(np.array(edges, dtype=np.int64).reshape(-1, 2))
+    # distributed edge harvest (vectorized explode + broadcast closed
+    # filter); only the final edge list lands on the driver for the
+    # reference-parity numpy engine
+    edges_df = harvest_edges(args.wave_dir).to_pandas()
+    edges = np.column_stack(
+        [edges_df["from_id"].to_numpy(), edges_df["to_id"].to_numpy()]
+    ).astype(np.int64)
+    nodes, ranks = power_iteration(edges)
     out = pa.table({"page_id": pa.array(nodes, pa.int64()), "rank": pa.array(ranks, pa.float64())})
     dest = os.path.join(args.wave_dir, "page_rank.parquet")
     pq.write_table(out, dest)
@@ -234,6 +229,7 @@ def main(argv=None) -> int:
     t.add_argument("url")
     t.add_argument("--fixture-dir", default=None)
     t.add_argument("--tier", default="t2")
+    t.add_argument("--json", action="store_true", help="machine output instead of the console report")
     t.set_defaults(fn=cmd_test)
 
     pr = sub.add_parser("page-rank")
