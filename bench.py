@@ -177,9 +177,11 @@ def main() -> None:
         # the consistent estimator of each level's true throughput.
         runs = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
         results = {}
+        samples: dict[int, list[float]] = {}
         for cpus in (4, 16, 8, 32):
             best = 0.0
-            for _ in range(runs):
+            samples[cpus] = []
+            for i in range(runs):
                 out = subprocess.run(
                     [
                         sys.executable, __file__, "--crawl-only",
@@ -194,6 +196,16 @@ def main() -> None:
                     "crawl"
                 ]["urls_per_sec"]
                 best = max(best, thr)
+                samples[cpus].append(thr)
+                # Per-leg progress on stderr: a killed/timed-out run still
+                # leaves its completed legs as evidence (host noise here is
+                # one-sided and >30 %, so every sample matters).
+                print(
+                    f"[scaling] cpus={cpus} run={i + 1}/{runs}: "
+                    f"{thr:.1f} urls/s (best {best:.1f})",
+                    file=sys.stderr,
+                    flush=True,
+                )
             results[cpus] = best
         eff_4_16 = results[16] / (4.0 * results[4]) if results[4] else 0.0
         eff_8_32 = results[32] / (4.0 * results[8]) if results[8] else 0.0
@@ -214,6 +226,7 @@ def main() -> None:
                         },
                     },
                     "num_cpus": [4, 16, 8, 32],
+                    "samples": {str(k): v for k, v in samples.items()},
                 }
             )
         )
