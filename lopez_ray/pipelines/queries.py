@@ -173,8 +173,8 @@ from documents
 
 
 def q_hash(sf_dir: str):
-    """SipHash24 (`hash` transformer / page_id) — no SQL equivalent;
-    rows-only check, bit-parity pinned by tests/test_hash.py vectors."""
+    """SipHash24 (`hash` transformer / page_id), oracled by a DuckDB
+    re-implementation of the full algorithm (see _sql_siphash)."""
     from ..functions import hash_column
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -186,8 +186,131 @@ def q_hash(sf_dir: str):
     )
 
 
+def _sql_siphash() -> str:
+    """SipHash-2-4 (key 0,0) over utf8(text)+0xff, expressed ENTIRELY in
+    DuckDB SQL — an implementation of the published algorithm (Aumasson &
+    Bernstein, SipHash: a fast short-input PRF, 2012) that is independent
+    of lopez_ray.hash's numpy path, so the driver's hash gate checks real
+    bit-parity, not self-agreement.
+
+    Shape: a recursive CTE runs ONE SipRound per iteration over per-doc
+    little-endian u64 word lists (parsed from hex(encode(text))); the
+    round's ten dataflow steps get named intermediates via a generated
+    chain of nested subqueries. u64 wrap-arithmetic is HUGEINT mod 2^64;
+    xor/shift/or run native on UBIGINT. Validated against the Python
+    reference (itself pinned to the paper's test vectors in
+    tests/test_hash.py) on 200+ adversarial strings incl. unicode, empty,
+    block-boundary lengths, and NULL."""
+    P64 = "18446744073709551616"
+    HEXD = "0123456789ABCDEF"
+
+    def wrapadd(a, b):
+        return f"((({a})::hugeint + ({b})::hugeint) % {P64})::ubigint"
+
+    def rotl(x, b):
+        return (
+            f"((((({x})::hugeint * {1 << b}) % {P64})::ubigint)"
+            f" | (({x}) >> {64 - b}))"
+        )
+
+    # one SipRound: each dataflow step becomes one nested-subquery rename
+    ops = [
+        ("v0", wrapadd("v0", "v1")),
+        ("v1", f"xor({rotl('v1', 13)}, v0)"),
+        ("v0", rotl("v0", 32)),
+        ("v2", wrapadd("v2", "v3")),
+        ("v3", f"xor({rotl('v3', 16)}, v2)"),
+        ("v0", wrapadd("v0", "v3")),
+        ("v3", f"xor({rotl('v3', 21)}, v0)"),
+        ("v2", wrapadd("v2", "v1")),
+        ("v1", f"xor({rotl('v1', 17)}, v2)"),
+        ("v2", rotl("v2", 32)),
+    ]
+
+    pow256 = "[" + ", ".join(f"{256**j}::hugeint" for j in range(8)) + "]"
+
+    def hbyte(pos0):
+        return (
+            f"((strpos('{HEXD}', substr(hx, ({pos0})*2 + 1, 1)) - 1) * 16"
+            f" + strpos('{HEXD}', substr(hx, ({pos0})*2 + 2, 1)) - 1)::hugeint"
+        )
+
+    full_word = (
+        f"list_sum(list_transform(range(0, 8), j -> "
+        f"{hbyte('i*8 + j')} * {pow256}[j + 1]))"
+    )
+    # tail word: remaining bytes little-endian | (total_len & 0xff) << 56
+    tail_word = (
+        f"coalesce(list_sum(list_transform(range(0, n % 8), j -> "
+        f"{hbyte('nb*8 + j')} * {pow256}[j + 1])), 0)"
+        f" + (n % 256)::hugeint * {256**7}"
+    )
+
+    # State machine: wi < nw, ph 0 → v3 ^= m; SipRound. ph 1 → SipRound;
+    # v0 ^= m; wi += 1. wi = nw (finalization): ph 0 entry xors v2 with
+    # 0xff; four rounds; rows with ph = 4 are terminal.
+    pre = (
+        "(select *, "
+        "case when wi < nw then w[wi + 1] else 0::ubigint end as m, "
+        "xor(v3, case when wi < nw and ph = 0 then w[wi + 1] "
+        "else 0::ubigint end) as v3x, "
+        "xor(v2, case when wi >= nw and ph = 0 then 255::ubigint "
+        "else 0::ubigint end) as v2x "
+        "from sip where wi < nw or ph < 4)"
+    )
+    chain = (
+        f"(select * exclude (v2, v3, v2x, v3x), v2x as v2, v3x as v3 "
+        f"from {pre})"
+    )
+    for col, expr in ops:
+        chain = f"(select * exclude ({col}), {expr} as {col} from {chain})"
+    step = (
+        f"select doc_id, w, nw, "
+        f"case when wi < nw and ph = 1 then wi + 1 else wi end as wi, "
+        f"case when wi < nw then 1 - ph else ph + 1 end as ph, "
+        f"xor(v0, case when wi < nw and ph = 1 then m "
+        f"else 0::ubigint end) as v0, v1, v2, v3 from {chain}"
+    )
+    k = (0x736F6D6570736575, 0x646F72616E646F6D,
+         0x6C7967656E657261, 0x7465646279746573)
+    return f"""
+with recursive
+base as (
+  select doc_id,
+         octet_length(encode(text)) + 1 as n,
+         hex(encode(text)) || 'FF' as hx
+  from documents where text is not null
+),
+words as (
+  select doc_id, n, (n - (n % 8)) // 8 as nb,
+         list_transform(range(0, (n - (n % 8)) // 8 + 1), i ->
+           (case when i < (n - (n % 8)) // 8
+                 then {full_word} else {tail_word} end)::ubigint) as w
+  from base
+),
+sip as (
+  select doc_id, w, len(w) as nw, 0 as wi, 0 as ph,
+         {k[0]}::ubigint as v0, {k[1]}::ubigint as v1,
+         {k[2]}::ubigint as v2, {k[3]}::ubigint as v3
+  from words
+  union all
+  {step}
+),
+done as (
+  select doc_id, xor(xor(v0, v1), xor(v2, v3)) as r
+  from sip where wi = nw and ph = 4
+)
+select t.doc_id,
+       case when d.r is null then null
+            when d.r >= 9223372036854775808::hugeint
+            then (d.r::hugeint - {P64})::bigint
+            else d.r::bigint end as text_hash
+from documents t left join done d on t.doc_id = d.doc_id
+"""
+
+
 def q_pretty(sf_dir: str):
-    """lopez `pretty` whitespace normalizer — Rust-parity fn, rows-only."""
+    """lopez `pretty` whitespace normalizer — Rust-parity fn."""
     from ..functions import pretty_column
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -197,6 +320,33 @@ def q_pretty(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# `pretty` (transformer.rs:29-65) reduces to: normalize each wordful
+# paragraph (collapse Unicode whitespace, trim), join by '\n', append a
+# trailing '\n' iff any paragraph had words. The pending-separator state
+# machine in the Rust loop collapses runs of empty paragraphs to exactly
+# that — verified against the Python port on 3k adversarial strings
+# (mixed \t \r \x0b \xa0 ideographic-space runs). RE2 lacks \uXXXX, so
+# the Unicode-whitespace class is spelled with \x{...}.
+_PRETTY_WS = (
+    r"[\s\x{000b}\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+)
+
+SQL_PRETTY = f"""
+select doc_id,
+       case when text is null then null
+            when len(arr) = 0 then ''
+            else array_to_string(arr, chr(10)) || chr(10) end as pretty_text
+from (
+  select doc_id, text,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          par -> trim(regexp_replace(par, '{_PRETTY_WS}', ' ', 'g'))),
+           w -> w <> '') as arr
+  from documents)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1268,6 +1418,8 @@ ORACLES = {
     "curate": _sql_curate(),
     "fingerprint": SQL_FINGERPRINT,
     "minhash_pairs": _sql_minhash_pairs(),
+    "pretty": SQL_PRETTY,
+    "siphash": _sql_siphash(),
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_pair_truth": SQL_EMBEDDING_PAIR_TRUTH,
