@@ -947,6 +947,44 @@ select a, b, jaccard from jac where jaccard >= {threshold}
 """
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs word-3-gram Jaccard >= 0.5 — the no-approximation
+    counterpart of minhash_pairs (inverted-index s-size join, two
+    partitioned shuffles; see stages/dedup.ngram_jaccard_pairs)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def _sql_jaccard_pairs(threshold: float = 0.5) -> str:
+    """Exact Jaccard over the same word-3-gram shingle construction as
+    the minhash oracle (lowercase, \\s+ tokens, <3 tokens → one joined
+    gram, empty → excluded), via a DuckDB self-join + list_intersect."""
+    return f"""
+with toks as (
+  select doc_id, [x for x in string_split_regex(lower(text), '\\s+') if x <> ''] as t
+  from documents
+),
+sh as (
+  select doc_id,
+         case when len(t) = 0 then []
+              when len(t) < 3 then [array_to_string(t, ' ')]
+              else [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t) - 2)]
+         end as gs
+  from toks
+),
+shd as (select doc_id, list_distinct(gs) as sset from sh where len(gs) > 0),
+jac as (
+  select x.doc_id as a, y.doc_id as b,
+         len(list_intersect(x.sset, y.sset))
+           / (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) as jaccard
+  from shd x join shd y on x.doc_id < y.doc_id
+)
+select a, b, jaccard from jac where jaccard >= {threshold}
+"""
+
+
 def q_simhash(sf_dir: str):
     from ..stages.dedup import simhash_batch
 
@@ -1383,6 +1421,7 @@ QUERIES = {
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "minhash_pairs": q_minhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "simhash": q_simhash,
     "embedding_dups": q_embedding_dups,
     "embedding_pair_truth": q_embedding_pair_truth,
@@ -1418,6 +1457,7 @@ ORACLES = {
     "curate": _sql_curate(),
     "fingerprint": SQL_FINGERPRINT,
     "minhash_pairs": _sql_minhash_pairs(),
+    "jaccard_pairs": _sql_jaccard_pairs(),
     "pretty": SQL_PRETTY,
     "siphash": _sql_siphash(),
     "simhash": SQL_SIMHASH,

@@ -142,3 +142,38 @@ def test_brute_force_cosine_pairs_exact(ray_session):
     assert got == _true_pairs()
     # sorted, deduplicated output contract
     assert out[["a", "b"]].drop_duplicates().shape[0] == len(out)
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Distributed inverted-index Jaccard == brute-force set Jaccard."""
+    import ray.data as rd
+
+    from lopez_ray.stages.dedup import _shingles, ngram_jaccard_pairs
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    sets = {i: set(_shingles(tx or "", 3)) for i, tx in zip(ids, texts)}
+    thr = 0.3
+    want = {}
+    keys = sorted(sets)
+    for x in range(len(keys)):
+        for y in range(x + 1, len(keys)):
+            a, b = keys[x], keys[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                want[(a, b)] = j
+    ds = rd.from_arrow(t).repartition(4)
+    out = ngram_jaccard_pairs(ds, threshold=thr).to_pandas()
+    got = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(out["a"], out["b"], out["jaccard"])
+    }
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert abs(got[k_] - v) < 1e-12
