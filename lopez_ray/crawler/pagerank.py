@@ -35,15 +35,15 @@ def harvest_edges(wave_dir: str, reason: str = "ahref"):
     falls back to a vectorized hash of ``link_urls`` for pre-column
     outputs), and the closed-id membership test is a broadcast sorted
     int64 array + searchsorted — no driver-side row loops anywhere."""
-    import glob
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    status = pq.read_table(
+    from ..sources.corpus import dataset_schema, list_wave_dirs, read_table
+
+    status = read_table(
         os.path.join(wave_dir, "status.parquet"),
         columns=["page_id", "search_status"],
     )
@@ -100,12 +100,24 @@ def harvest_edges(wave_dir: str, reason: str = "ahref"):
             }
         )
 
-    wave_paths = sorted(glob.glob(os.path.join(wave_dir, "wave=*", "*.parquet")))
-    schema = pq.read_schema(wave_paths[0])
+    wave_paths = list_wave_dirs(wave_dir)
+    if not wave_paths:
+        # zero dispatched waves (or an empty crawl): no edges
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "from_id": pa.array([], pa.int64()),
+                    "to_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    schema = dataset_schema(wave_paths[0])
     cols = ["page_id", "link_urls", "link_reasons"]
     if "link_pids" in schema.names:
         cols = ["page_id", "link_pids", "link_reasons"]
-    waves = rd.read_parquet(wave_paths, columns=cols)
+    from ..sources.corpus import read_dataset_dirs
+
+    waves = read_dataset_dirs(wave_paths, columns=cols)
     return waves.map_batches(explode, batch_format="pyarrow")
 
 

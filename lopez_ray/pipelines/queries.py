@@ -1119,8 +1119,15 @@ def q_ann_ivf(sf_dir: str):
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = _query_matrix(sf_dir)
+    # key the cached index by a content fingerprint so a regenerated
+    # corpus at the same path invalidates the _DONE marker (stale-index
+    # searches would silently return wrong top-k otherwise)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    fp = f"{st.st_size}-{int(st.st_mtime)}"
     index_dir = os.path.join(
-        "/tmp/lopez_ray_entry", "ivf-" + sf_dir.strip("/").replace("/", "_")
+        "/tmp/lopez_ray_entry",
+        "ivf-" + sf_dir.strip("/").replace("/", "_") + "-" + fp,
     )
     ivf_build(ds, index_dir)
     ivf = ivf_search(index_dir, q, k=10).to_pandas()
@@ -1141,10 +1148,9 @@ def q_crawl_bfs(sf_dir: str):
     """The flagship crawl over the deterministic t1 web fixture (the
     crawl domain has no SQL oracle; parity is pinned by the DuckDB
     fetch.sql oracle in tests/test_crawl_e2e.py)."""
-    import pyarrow.parquet as pq
-
     from ..crawler.waves import CrawlJob
     from ..fixtures.gen import generate
+    from ..sources.corpus import read_table
 
     paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
     out_dir = _crawl_out_dir(sf_dir)
@@ -1161,7 +1167,7 @@ def q_crawl_bfs(sf_dir: str):
             batch_size=64,
         )
         job.run()
-    return pq.read_table(status_path).sort_by("page_id")
+    return read_table(status_path).sort_by("page_id")
 
 
 def q_crawl_pagerank(sf_dir: str):

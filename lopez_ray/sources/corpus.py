@@ -32,6 +32,86 @@ def read_corpus(path: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns)
 
 
+def _is_lance_dir(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_versions")) or path.endswith(".lance")
+
+
+def read_table(path: str, columns: list[str] | None = None):
+    """pa.Table from a table path written by ``write_table`` /
+    ``write_dataset`` — the READ side of the format seam. Detects the
+    on-disk format (a Lance dataset directory vs a parquet file or a
+    directory of parquet slices) so crawl readers keep working whichever
+    branch the sink took (they were parquet-only before: a Lance-enabled
+    environment wrote status/wave data no reader could open)."""
+    if HAVE_LANCE and _is_lance_dir(path):
+        import lance as _lance
+
+        return _lance.dataset(path).to_table(columns=columns)
+    if HAVE_LANCE and os.path.isdir(path):
+        # per-shard layout: <path>/shard-K.parquet each a Lance dataset dir
+        shards = sorted(
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if _is_lance_dir(os.path.join(path, d))
+        )
+        if shards:
+            import lance as _lance
+            import pyarrow as pa
+
+            return pa.concat_tables(
+                [_lance.dataset(s).to_table(columns=columns) for s in shards]
+            )
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=columns)
+
+
+def read_dataset_dirs(paths: list[str], columns: list[str] | None = None):
+    """Ray Dataset over a list of per-wave output directories (each
+    written by ``write_dataset``), format-detected per directory."""
+    import ray.data as rd
+
+    if HAVE_LANCE and paths and _is_lance_dir(paths[0]):
+        parts = [rd.read_lance(p, columns=columns) for p in paths]
+        ds = parts[0]
+        return ds.union(*parts[1:]) if len(parts) > 1 else ds
+    # rd.read_parquet on a list accepts files, not directories: expand
+    import glob
+
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            files.append(p)
+    return rd.read_parquet(files, columns=columns)
+
+
+def dataset_schema(path: str):
+    """Arrow schema of one written dataset directory (cheap metadata read)."""
+    if HAVE_LANCE and _is_lance_dir(path):
+        import lance as _lance
+
+        return _lance.dataset(path).schema
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return pq.read_schema(files[0])
+
+
+def list_wave_dirs(wave_dir: str) -> list[str]:
+    """Per-wave output directories under a crawl's wave_dir, sorted."""
+    if not os.path.isdir(wave_dir):
+        return []
+    return sorted(
+        os.path.join(wave_dir, d)
+        for d in os.listdir(wave_dir)
+        if d.startswith("wave=") and os.path.isdir(os.path.join(wave_dir, d))
+    )
+
+
 def write_dataset(ds, path: str) -> None:
     """Write a Dataset to the preferred format (Lance when available,
     partitioned Parquet otherwise). Output is a directory of per-block

@@ -141,11 +141,20 @@ class MinHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc into one row per band: (doc_id, band, band_hash)."""
+        """Explode each doc into one row per band: (doc_id, band, band_hash).
+
+        Zero-shingle docs (empty/whitespace-only/null text) emit NO band
+        rows — they have no shingle set, so they are excluded from LSH
+        banding entirely, matching both the SQL oracle (unnest of an
+        empty sig list yields no rows) and ``ngram_jaccard_pairs``. The
+        sentinel test is exact: real signature values are < 2^61-1, so
+        only the untouched int64-max initializer can match."""
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         texts = batch[self.text_col].to_pylist()
         sigs = self.signatures(texts)  # (n, num_perm) int64
-        n = len(texts)
+        keep = sigs[:, 0] != np.iinfo(np.int64).max
+        ids, sigs = ids[keep], sigs[keep]
+        n = len(ids)
         # one siphash call per band over row-chunk bytes
         band_hash = np.empty((n, self.bands), dtype=np.int64)
         for band in range(self.bands):
