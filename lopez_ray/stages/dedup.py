@@ -247,13 +247,39 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
     Returns a pa.Table (a, b, jaccard) with jaccard >= threshold.
 
-    Verify never materializes the corpus on the driver: the candidate
-    PAIR set is tiny (O(duplicate clusters)), so its doc-id set is
-    broadcast and a semi-join ``map_batches`` filter pulls just the
-    candidate texts out of the streaming corpus; only those reach the
-    driver. At extreme scale the same shape becomes a hash-partitioned
-    join keyed on doc_id."""
-    import ray
+    The verify stage is a fully distributed hash-partitioned join — no
+    driver materialization of pairs, texts, or shingle sets anywhere:
+
+    1. candidate pairs (a Dataset) explode into side rows keyed by the
+       doc they reference: (key=doc, a, b);
+    2. the corpus streams into EXPLODED distinct shingle-hash rows
+       (key=doc, hv) — md5-hashed shingles, the same basis as
+       ``ngram_jaccard_pairs``' exact join. Every shuffled column is a
+       flat int64: no ragged list payloads ever transit a shuffle
+       (list-typed columns through Ray's sort path showed
+       nondeterministic row↔value misalignment in testing; flat
+       columnar rows are also the cheaper wire format);
+    3. both row kinds union and ``partitioned_reduce`` on key=doc
+       joins them partition-wise (one C-speed int64 merge per
+       partition), emitting (a, b, hv) — one row per pair-side hash;
+    4. a second ``partitioned_reduce`` on (a, b) brings a pair's two
+       sides together and computes exact Jaccard VECTORIZED across the
+       whole partition: each side's hash set is distinct, so within a
+       pair ``inter`` = number of duplicated hv values (lexsort +
+       adjacent-equal count) and ``|A|+|B|`` = the pair's row count.
+       The threshold filter runs there too, so only survivors reach
+       the driver.
+
+    Cost: one linear shuffle of the corpus's exploded shingle hashes +
+    one shuffle of O(candidate-side shingles) rows — no driver state at
+    any point. On a low-dup-rate corpus a broadcast semi-join on the
+    candidate doc-id set would skip shuffling non-candidate docs, at
+    the price of a driver round-trip; this path deliberately avoids
+    that round-trip. Doc ids must be >= 0 (hv rows carry a = b = -1 as
+    the corpus-row marker)."""
+    import pandas as pd
+
+    from .shuffle import partitioned_reduce
 
     id_col = kwargs.get("id_col", "doc_id")
     text_col = kwargs.get("text_col", "text")
@@ -268,51 +294,102 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
     cands = minhash_candidates(ds, **kwargs)
     if cands is None:
         return empty
-    pairs = cands.to_pandas()  # tiny: one row per candidate pair
-    if len(pairs) == 0:
-        return empty
-    cand_ids = np.unique(
-        np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
-    ).astype(np.int64)  # sorted — broadcast for a searchsorted semi-join
-    ids_ref = ray.put(cand_ids)
 
-    def pull_texts(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        probe = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.minimum(np.searchsorted(wanted, probe), len(wanted) - 1)
-        return batch.filter(pa.array(wanted[pos] == probe)).select(
-            [id_col, text_col]
+    def pair_sides(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([a, b])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "hv": pa.array(np.zeros(len(key), dtype=np.int64), pa.int64()),
+            }
         )
 
-    texts_tbl = pa.concat_tables(
-        [
-            t
-            for t in (
-                ray.get(r)
-                for r in ds.map_batches(
-                    pull_texts, batch_format="pyarrow"
-                ).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-        or [pa.table({id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())})]
-    )
-    lookup = dict(
-        zip(texts_tbl[id_col].to_pylist(), texts_tbl[text_col].to_pylist())
-    )
-    jac = [
-        jaccard(lookup.get(x) or "", lookup.get(y) or "", k)
-        for x, y in zip(pairs["a"], pairs["b"])
-    ]
-    tbl = pa.table(
+    def doc_shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        all_sh: list[bytes] = []
+        offs = [0]
+        for t in batch[text_col].to_pylist():
+            s = set(_shingles(t or "", k))
+            all_sh.extend(s)
+            offs.append(len(all_sh))
+        hv = (
+            md5_u64_batch(all_sh).view(np.int64)
+            if all_sh
+            else np.array([], np.int64)
+        )
+        counts = np.diff(np.asarray(offs, dtype=np.int64))
+        neg = np.full(int(counts.sum()), -1, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.repeat(ids, counts), pa.int64()),
+                "a": pa.array(neg, pa.int64()),
+                "b": pa.array(neg, pa.int64()),
+                "hv": pa.array(hv, pa.int64()),
+            }
+        )
+
+    sides = cands.map_batches(pair_sides, batch_format="pyarrow")
+    docs = ds.map_batches(doc_shingle_rows, batch_format="pyarrow")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_doc = df["a"].to_numpy() < 0
+        docs_df = df.loc[is_doc, ["key", "hv"]]
+        prs = df.loc[~is_doc, ["key", "a", "b"]]
+        m = prs.merge(docs_df, on="key", how="inner")
+        return m[["a", "b", "hv"]]
+
+    attached = partitioned_reduce(sides.union(docs), ["key"], attach)
+
+    empty_out = pd.DataFrame(
         {
-            "a": pa.array(pairs["a"], pa.int64()),
-            "b": pa.array(pairs["b"], pa.int64()),
-            "jaccard": pa.array(jac, pa.float64()),
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
         }
     )
-    tbl = tbl.filter(pc.greater_equal(tbl["jaccard"], threshold))
-    return tbl.sort_by([("a", "ascending"), ("b", "ascending")])
+
+    def pair_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_out
+        keys, inv = np.unique(
+            df[["a", "b"]].to_numpy(dtype=np.int64), axis=0, return_inverse=True
+        )
+        total = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        hv = df["hv"].to_numpy(dtype=np.int64)
+        order = np.lexsort((hv, inv))
+        ps, hs = inv[order], hv[order]
+        dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        inter = np.bincount(ps[1:][dup], minlength=len(keys)).astype(np.int64)
+        union = total - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "a": pd.Series(keys[keep, 0], dtype="int64"),
+                "b": pd.Series(keys[keep, 1], dtype="int64"),
+                "jaccard": pd.Series(jac[keep], dtype="float64"),
+            }
+        )
+
+    verified = partitioned_reduce(attached, ["a", "b"], pair_jaccard)
+    import ray
+
+    got = [
+        t
+        for t in (ray.get(r) for r in verified.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not got:
+        return empty
+    return (
+        pa.concat_tables(got)
+        .select(["a", "b", "jaccard"])
+        .sort_by([("a", "ascending"), ("b", "ascending")])
+    )
 
 
 def ngram_jaccard_pairs(
