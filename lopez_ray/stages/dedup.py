@@ -707,7 +707,23 @@ def embedding_near_dups(
     recall is 1-(1-p^n_planes)^n_tables for p = 1-θ/π. Fewer planes ⇒
     bigger buckets ⇒ more verify work; more tables ⇒ proportionally more
     shuffle rows — the standard LSH dials, both exposed. Precision is
-    exact: every emitted pair is cosine-verified inside its bucket."""
+    exact: every emitted pair is cosine-verified inside its bucket.
+
+    Wire format: the normalized vector rides the bucket shuffle as
+    ``d`` FLAT float64 columns (v0..v{d-1}) — never a ragged list
+    (list-typed columns through Ray's sort path showed nondeterministic
+    row↔value misalignment; flat buffers also reconstruct zero-copy
+    into the verify matmul).
+
+    Cost model (100 TB): shuffle bytes/vector = 8·d·n_tables + O(1) —
+    the ×n_tables is inherent to in-bucket verification (each table's
+    bucket needs its members' vectors co-located). The alternative —
+    shuffle (id, bucket) only, enumerate within-bucket candidate pairs,
+    then join vectors per PAIR — ships vector bytes proportional to the
+    candidate-pair degree instead, which loses whenever buckets are
+    dense (2^n_planes ≪ n, the regime this operator runs in: candidate
+    pairs ≈ n²·n_tables/2^n_planes ≫ n·n_tables). Dial n_planes up to
+    keep per-bucket membership near the verify tile size."""
     import pandas as pd
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -725,36 +741,37 @@ def embedding_near_dups(
             keys[t] = (signs * (1 << np.arange(n_planes))).sum(axis=1)
             keys[t] |= t << n_planes  # disjoint bucket space per table
         ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "id": pa.array(np.tile(ids, n_tables), pa.int64()),
-                "bucket": pa.array(keys.reshape(-1), pa.int64()),
-                "vec": pa.array(
-                    list(np.tile(normed, (n_tables, 1))), pa.list_(pa.float64())
-                ),
-            }
-        )
+        tiled = np.tile(normed, (n_tables, 1))
+        cols: dict = {
+            "id": pa.array(np.tile(ids, n_tables), pa.int64()),
+            "bucket": pa.array(keys.reshape(-1), pa.int64()),
+        }
+        for d in range(tiled.shape[1]):
+            cols[f"v{d}"] = pa.array(np.ascontiguousarray(tiled[:, d]), pa.float64())
+        return pa.table(cols)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Within-bucket pairwise cosine, TILED (skew guard): a hot
-        bucket costs bounded memory per tile instead of one O(b²) matmul
-        + Python pair loop."""
-        ids = g["id"].to_numpy()
-        mat = np.array(g["vec"].tolist())
-        n = len(ids)
-        tile = 2048
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-partition: one vectorized pass per bucket — within-bucket
+        pairwise cosine, TILED (skew guard): a hot bucket costs bounded
+        memory per tile instead of one O(b²) matmul + Python pair loop."""
+        vcols = [c for c in g.columns if c.startswith("v")]
         rows = {"a": [], "b": [], "cos": []}
-        for i0 in range(0, n, tile):
-            mi = mat[i0 : i0 + tile]
-            for j0 in range(i0, n, tile):
-                sims = mi @ mat[j0 : j0 + tile].T
-                pi, pj = np.nonzero(sims >= threshold)
-                gi, gj = pi + i0, pj + j0
-                keep = gi < gj
-                ia, ib = ids[gi[keep]], ids[gj[keep]]
-                rows["a"].append(np.minimum(ia, ib))
-                rows["b"].append(np.maximum(ia, ib))
-                rows["cos"].append(sims[pi[keep], pj[keep]])
+        for _bucket, grp in g.groupby("bucket"):
+            ids = grp["id"].to_numpy()
+            mat = grp[vcols].to_numpy()
+            n = len(ids)
+            tile = 2048
+            for i0 in range(0, n, tile):
+                mi = mat[i0 : i0 + tile]
+                for j0 in range(i0, n, tile):
+                    sims = mi @ mat[j0 : j0 + tile].T
+                    pi, pj = np.nonzero(sims >= threshold)
+                    gi, gj = pi + i0, pj + j0
+                    keep = gi < gj
+                    ia, ib = ids[gi[keep]], ids[gj[keep]]
+                    rows["a"].append(np.minimum(ia, ib))
+                    rows["b"].append(np.maximum(ia, ib))
+                    rows["cos"].append(sims[pi[keep], pj[keep]])
         a = np.concatenate(rows["a"]) if rows["a"] else np.array([], dtype=np.int64)
         b = np.concatenate(rows["b"]) if rows["b"] else np.array([], dtype=np.int64)
         c = np.concatenate(rows["cos"]) if rows["cos"] else np.array([], dtype=np.float64)
@@ -766,14 +783,12 @@ def embedding_near_dups(
             }
         )
 
-    pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # pair-dedup across tables/buckets: partitioned C-speed reduce
     from .shuffle import partitioned_reduce
 
+    pairs = partitioned_reduce(
+        ds.map_batches(bucketize, batch_format="pyarrow"), ["bucket"], part_pairs
+    )
+    # pair-dedup across tables/buckets: partitioned C-speed reduce
     return partitioned_reduce(
         pairs,
         ["a", "b"],
