@@ -97,6 +97,61 @@ def brute_force_topk(
     )
 
 
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _sample_matrix(
+    ds, id_col: str, vec_col: str, sample_size: int, seed: int = 3
+) -> np.ndarray:
+    """Deterministic UNBIASED sample of ``sample_size`` vectors for the
+    k-means fit: every row gets a mixed hash of its id (+seed) and the
+    rows with the globally smallest hashes win — a uniform random sample
+    that is independent of block order and input clustering, unlike
+    ``ds.limit(n)`` which takes the FIRST blocks and mis-covers sorted /
+    clustered corpora (the round-2 bias). Each task keeps only its local
+    smallest-``sample_size`` rows, so driver traffic is
+    O(blocks × sample_size), and the winner set is order-free, so the
+    fit is reproducible run to run."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch[id_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            h = (ids + np.uint64(seed)) * _PHI
+            h ^= h >> np.uint64(33)
+            h = h * _PHI
+            h ^= h >> np.uint64(29)
+        if len(h) > sample_size:
+            keep = np.argpartition(h, sample_size - 1)[:sample_size]
+            batch = batch.take(pa.array(np.sort(keep)))
+            h = h[np.sort(keep)]
+        return batch.select([vec_col]).append_column(
+            "__h", pa.array(h.view(np.int64), pa.int64())
+        )
+
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return np.empty((0, 0), dtype=np.float64)
+    merged = pa.concat_tables(parts)
+    h = merged["__h"].to_numpy(zero_copy_only=False).view(np.uint64)
+    if len(h) > sample_size:
+        keep = np.sort(np.argpartition(h, sample_size - 1)[:sample_size])
+        merged = merged.take(pa.array(keep))
+    return vecs_of(merged, vec_col)
+
+
 class IVFIndex:
     """Tiny IVF: k-means centroids + inverted lists, built from a Dataset."""
 
@@ -139,9 +194,7 @@ def ivf_topk(
     scanned and filtered by centroid INSIDE the task. Correct, but no
     read pruning — the layout-backed ``ivf_build``/``ivf_search`` pair
     below is the scale path (same centroids, same results)."""
-    sample = np.array(
-        ds.limit(4096).to_pandas()[vec_col].tolist(), dtype=np.float64
-    )
+    sample = _sample_matrix(ds, id_col, vec_col, 4096)
     index = IVFIndex(n_centroids=n_centroids).fit(sample)
     assigned = ds.map_batches(
         lambda b: index.assign_batch(b, vec_col), batch_format="pyarrow"
@@ -221,9 +274,7 @@ def ivf_build(
 
     if os.path.exists(os.path.join(index_dir, "_DONE")):
         return index_dir
-    sample = np.array(
-        ds.limit(sample_size).to_pandas()[vec_col].tolist(), dtype=np.float64
-    )
+    sample = _sample_matrix(ds, id_col, vec_col, sample_size)
     index = IVFIndex(n_centroids=n_centroids).fit(sample)
 
     def assign(b: pa.Table) -> pa.Table:

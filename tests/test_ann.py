@@ -1,0 +1,75 @@
+"""IVF k-means sampling: the fit sample must be unbiased w.r.t. input
+order (round-2 regression: ``ds.limit(4096)`` took the FIRST blocks, so
+a corpus sorted/clustered by content mis-covered the tail clusters and
+recall silently degraded)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _clustered_sorted_dataset(n_per=6000, dim=16, seed=11):
+    """Two well-separated clusters, SORTED so cluster A fills the first
+    blocks entirely — the adversarial input for head-biased sampling."""
+    r = np.random.default_rng(seed)
+    a = r.normal(size=(n_per, dim)) * 0.05
+    a[:, 0] += 10.0
+    b = r.normal(size=(n_per, dim)) * 0.05
+    b[:, 1] += 10.0
+    vecs = np.concatenate([a, b])  # A first, B second — sorted by cluster
+    ids = np.arange(2 * n_per, dtype=np.int64)
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    # many small blocks so limit(4096) would see ONLY cluster A
+    return rd.from_arrow(tbl).repartition(24), vecs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_matrix_covers_tail_clusters():
+    from lopez_ray.stages.ann import _sample_matrix
+
+    ds, vecs = _clustered_sorted_dataset()
+    sample = _sample_matrix(ds, "vec_id", "embedding", 2048)
+    assert sample.shape == (2048, 16)
+    # roughly half the sample must come from the tail cluster B
+    n_b = int((sample[:, 1] > 5).sum())
+    assert 700 < n_b < 1400, n_b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_matrix_deterministic_under_repartition():
+    from lopez_ray.stages.ann import _sample_matrix
+
+    ds, _ = _clustered_sorted_dataset()
+    s1 = _sample_matrix(ds, "vec_id", "embedding", 512)
+    s2 = _sample_matrix(ds.repartition(7), "vec_id", "embedding", 512)
+    # winner SET is hash-of-id based → identical regardless of blocking
+    key1 = np.lexsort(s1.T)
+    key2 = np.lexsort(s2.T)
+    assert np.allclose(s1[key1], s2[key2])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_on_sorted_clustered_input():
+    """Queries aimed at the TAIL cluster must still find their true
+    neighbors — the head-biased fit failed this."""
+    from lopez_ray.stages.ann import brute_force_topk, ivf_topk
+
+    ds, vecs = _clustered_sorted_dataset(n_per=3000)
+    r = np.random.default_rng(5)
+    qs = r.normal(size=(4, 16)) * 0.05
+    qs[:, 1] += 10.0  # all queries in cluster B (the tail)
+    exact = brute_force_topk(ds, qs, k=10).to_pandas()
+    approx = ivf_topk(ds, qs, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in exact.query_idx.unique():
+        t = set(exact[exact.query_idx == qi].vec_id)
+        g = set(approx[approx.query_idx == qi].vec_id)
+        recalls.append(len(t & g) / len(t))
+    assert np.mean(recalls) >= 0.9, recalls
