@@ -100,12 +100,18 @@ def test_rows_only_queries(entry_mod, sf_dir, name):
     assert len(df) == 500
 
 
-def test_embedding_dups_reports_recall(entry_mod, sf_dir):
+def test_embedding_dups_finds_planted_pairs(entry_mod, sf_dir):
+    """Planted-fixture LSH: the deterministic seeded run must recover
+    EXACTLY the 60 planted twins (recall 1.0, precision 1.0 — this is
+    what makes the DuckDB oracle exact)."""
+    from lopez_ray.fixtures.embfix import DUP_ID0, N_DUPS
+
     df = to_df(entry_mod.queries()["embedding_dups"](sf_dir))
-    assert list(df.columns) == ["n_lsh_pairs", "n_true_pairs", "recall"]
-    row = df.iloc[0]
-    assert row["n_true_pairs"] > 0  # the 0.4 operating point has real pairs
-    assert row["recall"] >= 0.5  # documented multi-table LSH gate
+    assert list(df.columns) == ["a", "b", "cos"]
+    assert len(df) == N_DUPS
+    assert (df["cos"] >= 0.9).all()
+    assert (df["b"] >= DUP_ID0).all()  # every pair is base↔planted twin
+    assert (df["a"] < DUP_ID0).all()
 
 
 def test_minhash_query_runs(entry_mod, sf_dir):
@@ -113,18 +119,29 @@ def test_minhash_query_runs(entry_mod, sf_dir):
     assert set(df.columns) >= {"a", "b"}
 
 
-def test_ivf_recall_vs_bruteforce(entry_mod, sf_dir):
-    bf = to_df(entry_mod.queries()["ann_bruteforce"](sf_dir))
+def test_ivf_exact_on_planted_clusters(entry_mod, sf_dir):
+    """Planted clustered fixture: the pruned-read IVF search must equal
+    the exact numpy top-10 per query (what the DuckDB oracle asserts)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lopez_ray.fixtures.embfix import ANN_DIR, ANN_QUERIES
+
     ivf = to_df(entry_mod.queries()["ann_ivf"](sf_dir))
-    assert "recall" in ivf.columns  # self-measured, driver-visible
-    recall_num = recall_den = 0
-    for qi in bf["query_idx"].unique():
-        truth = set(bf[bf.query_idx == qi]["vec_id"])
-        got = set(ivf[ivf.query_idx == qi]["vec_id"])
-        recall_num += len(truth & got)
-        recall_den += len(truth)
-    assert recall_num / recall_den >= 0.5  # nprobe=4/16 partial scan
-    assert (ivf["recall"] >= 0.3).all()  # per-query floor
+    assert len(ivf) == ANN_QUERIES * 10
+    ct = pq.read_table(ANN_DIR + "/corpus.parquet")
+    qt = pq.read_table(ANN_DIR + "/queries.parquet")
+    V = np.array(ct["embedding"].to_pylist())
+    ids = ct["vec_id"].to_numpy()
+    Q = np.array(qt["embedding"].to_pylist())
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    for qi in range(ANN_QUERIES):
+        order = np.lexsort((ids, -S[qi]))[:10]
+        expect = [int(i) for i in ids[order]]
+        got = list(ivf[ivf.query_idx == qi]["vec_id"])
+        assert got == expect, (qi, got, expect)
 
 
 def test_crawl_queries(entry_mod, sf_dir):
