@@ -193,3 +193,23 @@ def md5_u64_batch(payloads: list[bytes]) -> np.ndarray:
         dtype=np.uint64,
         count=len(payloads),
     )
+
+
+def md5_u128_batch(payloads: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Full 128-bit MD5 per item as two uint64 arrays (lo = digest bytes
+    [8:16] little-endian — identical to ``md5_u64_batch`` / DuckDB
+    ``md5_number_lower`` — hi = bytes [0:8] = ``md5_number_upper``).
+    Used where a 64-bit content key is not collision-safe at the design
+    point (exact dedup over 10^10 docs: expected 64-bit collisions > 1,
+    and a collision there silently merges distinct documents)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    n = len(payloads)
+    lo = np.empty(n, dtype=np.uint64)
+    hi = np.empty(n, dtype=np.uint64)
+    for i, p in enumerate(payloads):
+        d = md5(p).digest()
+        lo[i] = int.from_bytes(d[8:16], "little")
+        hi[i] = int.from_bytes(d[0:8], "little")
+    return lo, hi

@@ -24,7 +24,10 @@ The dedup trick: rows sharing a content hash share the TEXT, so every
 text-derived column (quality, n_tokens, n_chars, lang) is constant
 within the group — the winner row (min doc_id) is reconstructed entirely
 by Min aggregates, no join-back, no driver round-trip. lang_pred rides
-through the numeric aggregation as a small-int code.
+through the numeric aggregation as a small-int code. The content key is
+the FULL 128-bit MD5 (two int64 columns): at the 10^10-doc design point
+a 64-bit key expects >1 collision, and a collision under column-wise Min
+would stitch a Franken-row from two documents.
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ def curate(
     import ray
     import ray.data as rd
 
-    from ..stages.dedup import add_content_hash
+    from ..stages.dedup import add_content_hash128
     from ..stages.text import LangId, quality_score, text_stats
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -76,11 +79,12 @@ def curate(
             pc.is_in(b["lang_pred"], value_set=pa.array(langs)),
         )
         b = b.filter(mask)
-        b = add_content_hash(b, "text")
+        b = add_content_hash128(b, "text")
         lang_idx = pc.index_in(b["lang_pred"], value_set=lang_codes).cast(pa.int32())
         t = pa.table(
             {
-                "content_hash": b["content_hash"],
+                "ch_lo": b["ch_lo"],
+                "ch_hi": b["ch_hi"],
                 "doc_id": b["doc_id"],
                 "lang_idx": lang_idx,
                 "quality": b["quality"],
@@ -88,7 +92,7 @@ def curate(
                 "n_chars": b["n_chars"],
             }
         )
-        agg = t.group_by("content_hash").aggregate(
+        agg = t.group_by(["ch_lo", "ch_hi"]).aggregate(
             [
                 ("doc_id", "min"),
                 ("lang_idx", "min"),
@@ -99,7 +103,8 @@ def curate(
         )
         return pa.table(
             {
-                "content_hash": agg["content_hash"],
+                "ch_lo": agg["ch_lo"],
+                "ch_hi": agg["ch_hi"],
                 "doc_id": agg["doc_id_min"],
                 "lang_idx": agg["lang_idx_min"],
                 "quality": agg["quality_min"],
@@ -114,8 +119,8 @@ def curate(
 
     deduped = partitioned_reduce(
         scored.map_batches(keep_and_combine, batch_format="pyarrow"),
-        ["content_hash"],
-        lambda g: g.groupby("content_hash", as_index=False).min(),
+        ["ch_lo", "ch_hi"],
+        lambda g: g.groupby(["ch_lo", "ch_hi"], as_index=False).min(),
     )
 
     def finish(b: pa.Table) -> pa.Table:

@@ -113,7 +113,7 @@ def q_dedup_exact(sf_dir: str):
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     out = exact_dedup(ds, col="text", id_col="doc_id")
-    return out.drop_columns(["content_hash"])
+    return out.drop_columns(["ch_lo", "ch_hi"])
 
 
 SQL_DEDUP_EXACT = """

@@ -55,21 +55,36 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
     return batch.append_column(out, pa.array(hashes.view(np.int64), pa.int64()))
 
 
+def add_content_hash128(batch: pa.Table, col: str = "text") -> pa.Table:
+    """128-bit MD5 content key as two int64 columns (ch_lo, ch_hi) —
+    collision-safe at the 10^10-doc design point where a 64-bit key
+    expects >1 collision (and exact dedup on a collided key silently
+    merges distinct documents)."""
+    from ..hash import md5_u128_batch
+
+    texts = batch[col].to_pylist()
+    lo, hi = md5_u128_batch([t.encode() if t else b"" for t in texts])
+    return batch.append_column(
+        "ch_lo", pa.array(lo.view(np.int64), pa.int64())
+    ).append_column("ch_hi", pa.array(hi.view(np.int64), pa.int64()))
+
+
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per identical content. Returns a Dataset of
-    (content_hash, doc_id=min, n=group size). Distinct hashes are
-    O(corpus), so the reduce is the partitioned C-speed shuffle
-    (stages/shuffle.py), not a Ray aggregate."""
+    (ch_lo, ch_hi, doc_id=min, n=group size) keyed by the 128-bit
+    content hash. Distinct hashes are O(corpus), so the reduce is the
+    partitioned C-speed shuffle (stages/shuffle.py), not a Ray
+    aggregate."""
     from .shuffle import partitioned_reduce
 
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, col).select([id_col, "content_hash"]),
+        lambda b: add_content_hash128(b, col).select([id_col, "ch_lo", "ch_hi"]),
         batch_format="pyarrow",
     )
     return partitioned_reduce(
         hashed,
-        ["content_hash"],
-        lambda g: g.groupby("content_hash", as_index=False).agg(
+        ["ch_lo", "ch_hi"],
+        lambda g: g.groupby(["ch_lo", "ch_hi"], as_index=False).agg(
             **{id_col: (id_col, "min"), "n": (id_col, "size")}
         ),
     )
@@ -412,10 +427,11 @@ def ngram_jaccard_pairs(
        expands it into co-occurring (a, b) pairs.
     3. A second ``partitioned_reduce`` on (a, b) sums shared-shingle
        counts to |A∩B| globally (a pair's shingles span partitions).
-    4. A finish ``map_batches`` maps counts to Jaccard via
-       |A∪B| = |A| + |B| - |A∩B| with per-doc set sizes broadcast as
-       sorted arrays (searchsorted lookup; O(n_docs) ints — the same
-       broadcast budget as the minhash verify stage).
+    4. Jaccard = |A∩B| / (|A| + |B| - |A∩B|) resolves INSIDE that same
+       reduce: each doc's distinct-set size rides along in the exploded
+       shingle rows (one extra int64 column), so the sizes arrive with
+       the pairs — no driver-side size table, no broadcast (the round-2
+       residual driver touchpoint, now gone).
 
     Only pairs sharing >=1 shingle ever surface — exactly the pairs with
     jaccard > 0, so the result is exact for any threshold > 0. Work per
@@ -447,59 +463,43 @@ def ngram_jaccard_pairs(
             {
                 "sh": pa.array(hv, pa.int64()),
                 "doc": pa.array(np.repeat(ids, counts), pa.int64()),
+                # the doc's distinct-set size rides with every shingle
+                # row so Jaccard resolves without any size broadcast
+                "ssize": pa.array(np.repeat(counts.astype(np.int64), counts), pa.int64()),
             }
         )
-
-    def sizes_fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        ns = np.array(
-            [len(set(_shingles(t or "", k))) for t in batch[text_col].to_pylist()],
-            dtype=np.int64,
-        )
-        return pa.table({"doc": pa.array(ids), "ssize": pa.array(ns)})
 
     def pairs_in_partition(df):
         m = df.merge(df, on="sh")
         m = m[m["doc_x"] < m["doc_y"]]
-        out = m.groupby(["doc_x", "doc_y"], as_index=False).size()
-        return out.rename(columns={"doc_x": "a", "doc_y": "b", "size": "inter"})
+        out = m.groupby(["doc_x", "doc_y"], as_index=False).agg(
+            inter=("sh", "size"), sa=("ssize_x", "first"), sb=("ssize_y", "first")
+        )
+        return out.rename(columns={"doc_x": "a", "doc_y": "b"})
 
-    def sum_pairs(df):
-        return df.groupby(["a", "b"], as_index=False)["inter"].sum()
+    def finish_pairs(df):
+        import pandas as pd
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
-    partial = partitioned_reduce(exploded, ["sh"], pairs_in_partition)
-    pairs = partitioned_reduce(partial, ["a", "b"], sum_pairs)
-
-    sizes = (
-        ds.map_batches(sizes_fn, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc")
-    )
-    size_ref = ray.put(
-        (sizes["doc"].to_numpy(np.int64), sizes["ssize"].to_numpy(np.int64))
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        docs, ssz = ray.get(size_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sa = ssz[np.searchsorted(docs, a)]
-        sb = ssz[np.searchsorted(docs, b)]
-        jac = inter / (sa + sb - inter)
+        g = df.groupby(["a", "b"], as_index=False).agg(
+            inter=("inter", "sum"), sa=("sa", "first"), sb=("sb", "first")
+        )
+        inter = g["inter"].to_numpy(dtype=np.int64)
+        union = g["sa"].to_numpy(dtype=np.int64) + g["sb"].to_numpy(dtype=np.int64) - inter
+        jac = inter / union
         keep = jac >= threshold
-        return pa.table(
+        return pd.DataFrame(
             {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
+                "a": pd.Series(g["a"].to_numpy()[keep], dtype="int64"),
+                "b": pd.Series(g["b"].to_numpy()[keep], dtype="int64"),
+                "jaccard": pd.Series(jac[keep], dtype="float64"),
             }
         )
 
-    out = pairs.map_batches(finish, batch_format="pyarrow")
-    tbl = out.to_arrow_refs()
-    got = [t for t in (ray.get(r) for r in tbl) if t.num_rows]
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    partial = partitioned_reduce(exploded, ["sh"], pairs_in_partition)
+    out = partitioned_reduce(partial, ["a", "b"], finish_pairs)
+
+    got = [t for t in (ray.get(r) for r in out.to_arrow_refs()) if t.num_rows]
     if not got:
         return pa.table(
             {
