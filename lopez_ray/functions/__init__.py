@@ -27,10 +27,16 @@ def _as_array(arr):
 
 
 def hash_column(arr) -> pa.Array:
-    """`hash` transformer: SipHash24(string) → i64, null-propagating."""
+    """`hash` transformer: SipHash24(string) → i64, null-propagating.
+    Hashes the arrow column's UTF-8 bytes directly (binary cast — no
+    per-value str decode/encode round-trip); the Rust ``Hash for str``
+    0xff terminator is appended per payload as in ``page_ids``."""
+    from ..hash import siphash24_batch
+
     arr = _as_array(arr)
-    ids = page_ids(arr.fill_null("").to_pylist())
-    out = pa.array(ids.view(np.int64), pa.int64())
+    data = arr.fill_null("").cast(pa.large_binary()).to_pylist()
+    hashes = siphash24_batch([b + b"\xff" for b in data])
+    out = pa.array(hashes.view(np.int64), pa.int64())
     if arr.null_count:
         out = pc.if_else(pc.is_valid(arr), out, pa.nulls(len(arr), pa.int64()))
     return out

@@ -1201,12 +1201,19 @@ def q_analyze_rules(sf_dir: str):
 
     paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
     corpus = rd.read_parquet(paths["corpus"], columns=["image_id", "caption"])
-    capmap = {}
+    # broadcast the small side as SORTED parallel arrays (searchsorted
+    # lookup in the workers) — no driver dict
+    ids_parts, caps_parts = [], []
     for b in corpus.iter_batches(batch_format="pyarrow"):
-        capmap.update(zip(b["image_id"].to_pylist(), b["caption"].to_pylist()))
+        ids_parts.append(np.asarray(b["image_id"].to_pylist(), dtype=object))
+        caps_parts.append(np.asarray(b["caption"].to_pylist(), dtype=object))
+    cap_ids = np.concatenate(ids_parts) if ids_parts else np.array([], dtype=object)
+    cap_vals = np.concatenate(caps_parts) if caps_parts else np.array([], dtype=object)
+    order = np.argsort(cap_ids)
+    cap_ids, cap_vals = cap_ids[order], cap_vals[order]
     import ray
 
-    cap_ref = ray.put(capmap)
+    cap_ref = ray.put((cap_ids, cap_vals))
 
     rules = """
 seed "https://host0.test/p/0";
@@ -1218,18 +1225,31 @@ select p[class="caption"] { caption: first(text pretty); cap-words: first(text) 
 """
 
     def render(b: pa.Table) -> pa.Table:
-        caps = ray.get(cap_ref)
-        htmls, urls = [], []
-        for row in b.to_pylist():
-            if row["status_code"] != 200:
-                continue
-            urls.append(row["url"])
-            htmls.append(
-                render_page(
-                    row["url"], row["links"], row["canonical"],
-                    caps.get(row["image_id"]), row["image_id"],
-                )
+        ids_sorted, vals_sorted = ray.get(cap_ref)
+        b = b.filter(pc.equal(b["status_code"], 200))
+        urls = b["url"].to_pylist()
+        links = b["links"].to_pylist()
+        canon = b["canonical"].to_pylist()
+        imgs = b["image_id"].to_pylist()
+        if len(ids_sorted):
+            probe = np.asarray(
+                ["" if v is None else v for v in imgs], dtype=object
             )
+            pos = np.minimum(
+                np.searchsorted(ids_sorted, probe), len(ids_sorted) - 1
+            )
+            caps = [
+                vals_sorted[p] if ids_sorted[p] == v else None
+                for p, v in zip(pos, imgs)
+            ]
+        else:
+            caps = [None] * len(imgs)
+        # page rendering is inherently per-row string assembly; the
+        # caption attach above is the vectorized small-side join
+        htmls = [
+            render_page(u, l, c, cap, i)
+            for u, l, c, cap, i in zip(urls, links, canon, caps, imgs)
+        ]
         n = len(urls)
         return pa.table(
             {
