@@ -332,3 +332,131 @@ def test_salting_assignment_deterministic_and_bounded():
     assert k_per_host[0] == 5 and k_per_host[1] == 1
     assert len(set(slot[hh == 1])) == 5
     assert len(set(slot[hh == 2])) == 1
+
+
+# ---- adversarial fuzz vectors pinning the ENGINE↔SIM-ORACLE shared
+# kernels (sim_oracle.py:28-34 reuses checked_join / clean_links / the
+# robots matcher, so a bug there is invisible to the e2e oracle; these
+# vectors are the independent check — reference semantics from
+# crawler/worker/mod.rs:90-134 and robots.rs:50-88) ----
+
+
+def test_robots_matcher_reference_quirks():
+    """The reference matcher advances the cursor to the match START (not
+    past it) and uses substring find (not prefix) — both quirks must be
+    preserved bit-for-bit."""
+    # substring, not prefix-anchored
+    assert Match("/p").matches("/x/p")
+    # '*'-separated parts may overlap (cursor not advanced past match)
+    assert Match("/a*a").matches("/a")
+    # strict '$' with a nonempty last part can never match: the cursor
+    # sits at the last match's START so the route is never consumed
+    assert not Match("/ab$").matches("/ab")
+    assert not Match("/ab*$").matches("/ab")
+    # empty pattern never matches (robots.rs:71-74)
+    assert not Match("").matches("/anything")
+    assert not Match("$").matches("")
+    # bare '*' matches everything non-strictly
+    assert Match("*").matches("/x")
+    assert Match("*").matches("")
+    # query is part of the route (Position::BeforePath..)
+    assert Match("/intercambio?").matches("/intercambio?page=2")
+    assert not Match("/intercambio?").matches("/intercambio")
+
+
+def test_robots_route_includes_query_and_fragment():
+    rob = RobotExclusion("User-agent: *\nDisallow: /s?\n")
+    assert not rob.allows("https://x.test/s?q=1")
+    assert rob.allows("https://x.test/s")
+
+
+FUZZ_BASES = [
+    "https://example.test/dir/page",
+    "https://example.test/",
+    "https://sub.ex-ample.test:8443/a/b/c?k=v#frag",
+    "http://example.test:80/x%20y/",
+]
+
+FUZZ_LINKS = [
+    "sub/./path/../x",
+    "../../..",
+    "..%2fescape",
+    "a b",
+    "p?a=1&a=2&b=%C3%BC",
+    "//other.test/../x",
+    "/abs//double//slash",
+    "HTTPS://UPPER.TEST/PATH",
+    "p#frag?notquery",
+    "./",
+    "x" * 500,
+    "p?=emptykey&novalue",
+]
+
+
+def test_checked_join_fuzz_invariants():
+    """Every accepted join must produce a stable canonical URL: http(s)
+    scheme, a real domain host, and idempotence under re-join and
+    re-normalization (the property the crawl's page-id space relies on)."""
+    from urllib.parse import urlsplit
+
+    accepted = 0
+    for base in FUZZ_BASES:
+        for raw in FUZZ_LINKS:
+            try:
+                out = checked_join(base, raw)
+            except BadLink:
+                continue
+            accepted += 1
+            parts = urlsplit(out)
+            assert parts.scheme in ("http", "https"), out
+            assert parts.hostname and "." in parts.hostname, out
+            # idempotent: an absolute canonical link re-joins to itself
+            assert checked_join(base, out) == out, out
+            assert normalize(out) == out, out
+    assert accepted >= 30  # the battery must actually exercise the path
+
+
+def test_hosts_of_batch_matches_scalar_on_fuzz():
+    import pyarrow as pa
+
+    from lopez_ray.crawler.urls import hosts_of_batch
+
+    urls = [
+        "https://a.test/x",
+        "https://USER:pw@b.test:8443/p?q#f",
+        "http://c.test",
+        "https://d.e.f.test:1/",
+        "https://g.test/%2f%3a",
+        "https://h.test/path@with@ats",
+        "https://i.test:443/x",
+    ]
+    got = hosts_of_batch(pa.array(urls))
+    assert got == [host_of(u) for u in urls]
+
+
+def test_clean_links_fuzz_dedup_and_order():
+    """clean_links must reject bad links, canonicalize + param-filter,
+    and produce the reference's (reason-order, url) sorted dedup."""
+    b = Boundaries(
+        allowed=[r"^https://example\.test/"],
+        param_policy=ParamPolicy(use_all=True, ignore_params=["utm"]),
+    )
+    links = [
+        ("ahref", "p?utm=x&id=1"),
+        ("ahref", "p?id=1"),  # dedups with the utm-stripped twin
+        ("ahref", "#frag"),
+        ("ahref", "mailto:a@b.c"),
+        ("ahref", "http://127.0.0.1/x"),
+        ("canonical", "p?id=1"),
+        ("ahref", "../escape-above-root/./z"),
+    ]
+    out = b.clean_links("https://example.test/dir/page", links)
+    urls = [u for _, u in out]
+    assert len(set(out)) == len(out)
+    assert ("ahref", "https://example.test/dir/p?id=1") in out
+    assert ("canonical", "https://example.test/dir/p?id=1") in out
+    # reference order: (reason rank, url), already deduped
+    from lopez_ray.crawler.boundaries import _REASON_ORDER
+
+    assert out == sorted(set(out), key=lambda t: (_REASON_ORDER[t[0]], t[1]))
+    assert all(u.startswith("https://example.test/") for u in urls)
