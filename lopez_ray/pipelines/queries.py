@@ -469,17 +469,22 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
+        # money riding a shuffle sums as EXACT fixed-point int64 (cents /
+        # 1e-4 units): double accumulation at ~5e8 scale drifts ~1e-7
+        # per order difference, which lands pc.round off the 2dp grid
+        # while DuckDB lands on it — integer sums remove the whole class
         disc_price = pc.multiply(
             b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
         )
+        to_i = lambda col, scale: pc.round(pc.multiply(col, scale)).cast(pa.int64())  # noqa: E731
         t = pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "qty": b["l_quantity"],
-                "price": b["l_extendedprice"],
-                "disc_price": disc_price,
-                "disc": b["l_discount"],
+                "qty": to_i(b["l_quantity"], 100.0),
+                "price": to_i(b["l_extendedprice"], 100.0),
+                "disc_price": to_i(disc_price, 10000.0),
+                "disc": to_i(b["l_discount"], 100.0),
             }
         )
         return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -500,16 +505,26 @@ def q_lineitem_pricing(sf_dir: str):
 
     def finish(b: pa.Table) -> pa.Table:
         n = b["count_order"].cast(pa.float64())
+        # exact integer units → the unique nearest-double of the true
+        # decimal; 1e-4-unit disc_price rounds half-away to cents
+        # (DuckDB round semantics) in integer space
+        dp_units = b["sum_disc_price"].to_numpy(zero_copy_only=False)
+        dp_cents = np.sign(dp_units) * ((np.abs(dp_units) + 50) // 100)
         return pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                # 2dp: these sums reach ~5e8 at sf0.01, where f64
-                # accumulation-order noise (~1e-6) flips a 6dp rounding
-                "sum_qty": pc.round(b["sum_qty"], ndigits=2),
-                "sum_base_price": pc.round(b["sum_base_price"], ndigits=2),
-                "sum_disc_price": pc.round(b["sum_disc_price"], ndigits=2),
-                "avg_disc": pc.round(pc.divide(b["_sum_disc"], n), ndigits=6),
+                "sum_qty": pc.divide(b["sum_qty"].cast(pa.float64()), 100.0),
+                "sum_base_price": pc.divide(
+                    b["sum_base_price"].cast(pa.float64()), 100.0
+                ),
+                "sum_disc_price": pa.array(dp_cents / 100.0, pa.float64()),
+                "avg_disc": pc.round(
+                    pc.divide(
+                        pc.divide(b["_sum_disc"].cast(pa.float64()), 100.0), n
+                    ),
+                    ndigits=6,
+                ),
                 "count_order": b["count_order"].cast(pa.int64()),
             }
         )
@@ -556,7 +571,10 @@ def q_orders_by_segment(sf_dir: str):
         t = pa.table(
             {
                 "c_mktsegment": pc.if_else(hit, segs, pa.nulls(len(probe), pa.string())),
-                "price": b["o_totalprice"],
+                # exact integer cents: see q_lineitem_pricing
+                "price": pc.round(pc.multiply(b["o_totalprice"], 100.0)).cast(
+                    pa.int64()
+                ),
             }
         )
         return t.group_by("c_mktsegment").aggregate(
@@ -577,7 +595,9 @@ def q_orders_by_segment(sf_dir: str):
             {
                 "c_mktsegment": b["c_mktsegment"],
                 "n_orders": b["n_orders"].cast(pa.int64()),
-                "total_price": pc.round(b["total_price"], ndigits=2),
+                "total_price": pc.divide(
+                    b["total_price"].cast(pa.float64()), 100.0
+                ),
             }
         )
 

@@ -8,13 +8,20 @@ O(rows): measured on this box, 80k distinct (a, b) pairs aggregate at
 pair-dedup that should be milliseconds takes minutes, and the cost is
 linear in the corpus.
 
-``partitioned_reduce`` keeps the shuffle but bounds the group count the
-Ray layer ever sees: rows are hash-partitioned on the key columns into
-``n_parts`` buckets (vectorized mix in ``map_batches``), Ray shuffles on
-the single low-cardinality ``__part`` key, and the real per-key
-reduction runs INSIDE each partition as one C-speed pandas groupby.
-Exactly one shuffle, same key co-location guarantee, and ``n_parts``
-scales with the cluster instead of with the data.
+``partitioned_reduce`` keeps the shuffle but bounds the group count:
+rows are hash-partitioned on the key columns into ``n_parts`` buckets
+and the real per-key reduction runs INSIDE each partition as one
+C-speed pandas groupby. The shuffle itself is a RAW-TASK hash exchange
+(one split task per input block fanning out ``n_parts`` sub-tables via
+``num_returns``, one reduce task per partition concatenating its chunks
+— sub-tables flow task-to-task through the object store, never the
+driver), NOT Ray's sort-based ``groupby``: the sort path samples,
+range-partitions and sorts every block, costing seconds of fixed
+overhead per barrier even on kilobyte inputs (measured 3-5 s per
+shuffle at 32 CPUs; four chained shuffles made a 60 ms verify take
+25 s). Same key co-location guarantee, same contract, two task waves.
+
+``n_parts`` scales with the cluster instead of with the data.
 """
 
 from __future__ import annotations
@@ -44,7 +51,66 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     pandas DataFrame (all rows of any given key, guaranteed — the
     partition is a superset of whole key-groups) and must itself group
     by ``key_cols`` (one vectorized pandas groupby) and return the
-    reduced frame. The helper strips the internal ``__part`` column."""
+    reduced frame. Returns a Ray Dataset of the reduced rows."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if os.environ.get("LOPEZ_SHUFFLE") == "sort":
+        return _partitioned_reduce_sort(ds, key_cols, reduce_fn, n_parts)
+
+    @ray.remote
+    def split(tbl: pa.Table):
+        if tbl.num_rows == 0 or any(c not in tbl.column_names for c in key_cols):
+            return tuple(None for _ in range(n_parts))
+        part = (_mix_columns(tbl, key_cols) % np.uint64(n_parts)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
+        return tuple(
+            sorted_tbl.slice(bounds[b], bounds[b + 1] - bounds[b])
+            if bounds[b + 1] > bounds[b]
+            else None
+            for b in range(n_parts)
+        )
+
+    @ray.remote(num_returns=2)
+    def reduce_part(*chunks):
+        got = [t for t in chunks if t is not None and t.num_rows]
+        if not got:
+            return None, 0
+        df = pa.concat_tables(got, promote_options="default").to_pandas()
+        out = pa.Table.from_pandas(reduce_fn(df), preserve_index=False)
+        return out, out.num_rows
+
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_items([])
+    per_part: list[list] = [[] for _ in range(n_parts)]
+    for ref in block_refs:
+        refs = split.options(num_returns=n_parts).remote(ref)
+        if n_parts == 1:
+            refs = [refs]
+        for b, r in enumerate(refs):
+            per_part[b].append(r)
+    tbl_refs, cnt_refs = [], []
+    for chunks in per_part:
+        t_ref, c_ref = reduce_part.remote(*chunks)
+        tbl_refs.append(t_ref)
+        cnt_refs.append(c_ref)
+    # only the per-partition ROW COUNTS touch the driver; the reduced
+    # tables stay in the object store and flow into the Dataset by ref
+    counts = ray.get(cnt_refs)
+    keep = [r for r, c in zip(tbl_refs, counts) if c]
+    if not keep:
+        return rd.from_items([])
+    return rd.from_arrow_refs(keep)
+
+
+def _partitioned_reduce_sort(ds, key_cols, reduce_fn, n_parts: int = 64):
+    """The Ray-sort-based variant (groupby(__part).map_groups), kept for
+    A/B comparison via LOPEZ_SHUFFLE=sort."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = (_mix_columns(batch, key_cols) % np.uint64(n_parts)).astype(
@@ -53,8 +119,7 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
         return batch.append_column("__part", pa.array(part, pa.int64()))
 
     def run(group):
-        out = reduce_fn(group.drop(columns="__part"))
-        return out
+        return reduce_fn(group.drop(columns="__part"))
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
