@@ -138,6 +138,19 @@ class FrontierShard:
         self.wave_log.append(entry)
         return entry
 
+    def commit_then_candidates(
+        self, wave: int, limit: int, max_depth: int
+    ) -> pa.Table:
+        """Fused wave barrier: apply the previous wave's staged deltas,
+        then return this shard's candidate table — ONE actor round-trip
+        per shard per wave instead of two sequential driver barriers
+        (commit … then candidates was ~2 RTT + two ray.get fan-ins on
+        the serial path that caps scaling efficiency). ``wave < 0``
+        skips the commit (first wave / fresh resume)."""
+        if wave >= 0:
+            self.commit_wave(wave)
+        return self.candidates_table(limit, max_depth)
+
     # ----- batch selection (fetch.sql) -----
 
     def candidates(self, limit: int, max_depth: int) -> list[tuple[int, int, int, str]]:

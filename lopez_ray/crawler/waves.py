@@ -66,6 +66,31 @@ def _analyze_fn(directives_source: str):
     return fn
 
 
+@ray.remote
+def _process_block(tbl: pa.Table, directives_source: str, shard_handles, n_shards: int) -> pa.Table:
+    """Raw-task analyze+push for ONE fetched block: parse/select rules,
+    then push link deltas + completions to the owning frontier shards
+    (the push ray.get inside the task means a completed task implies
+    its frontier messages have landed). Replaces the per-wave Ray Data
+    pipeline — the streaming executor cost ~0.5-1 s of spin-up PER WAVE
+    on the serial path that caps scaling efficiency; a plain task graph
+    has none. The compiled AnalyzeStage is cached per worker process
+    (module-global keyed by the directives source)."""
+    fn = _analyze_fn(directives_source)
+    push = _push_fn(shard_handles, n_shards)
+    return push(fn(tbl))
+
+
+@ray.remote
+def _write_wave_block(tbl: pa.Table, directory: str, index: int) -> str:
+    """Async wave-output writer (format seam): runs OFF the wave
+    barrier's critical path; the driver joins all pending writes before
+    checkpoints and at crawl end so durability ordering is preserved."""
+    from ..sources.corpus import write_block
+
+    return write_block(tbl, directory, index)
+
+
 def _push_fn(shard_handles: list, n_shards: int):
     """Final stage: push link deltas + completions to the owning shards.
     Synchronous (ray.get) so that full stream consumption implies all
@@ -317,30 +342,45 @@ class CrawlJob:
         )
         remaining_quota = max(0, effective_quota - consumed)
 
-        analyze = _analyze_fn(self.directives_source)
-        push = _push_fn(self.shards, self.n_shards)
-
         self._seq = consumed  # global emission counter (crawl-order lineage)
         self._phase = defaultdict(float)  # wall per phase (perf lineage)
+        self._pending_writes: list = []
         n_sent = 0
         wave = self._next_wave_index()
+        uncommitted = -1  # wave whose staged deltas await commit
         t0 = time.monotonic()
         while remaining_quota - n_sent > 0:
             budget = min(self.batch_size, remaining_quota - n_sent)
             tp = time.monotonic()
-            batch = self._fetch_batch(budget)
+            # fused barrier: commit of the PREVIOUS wave rides the same
+            # actor round-trip as this wave's candidate pull (one RTT +
+            # one fan-in instead of two on the serial path)
+            batch = self._fetch_batch(budget, commit_wave=uncommitted)
+            uncommitted = -1
             self._phase["candidates"] += time.monotonic() - tp
             if batch is None:
                 break
-            self._run_wave(wave, batch, analyze, push)
+            self._run_wave(wave, batch)
             n_sent += batch.num_rows
-            tp = time.monotonic()
-            ray.get([s.commit_wave.remote(wave) for s in self.shards])
-            self._phase["commit"] += time.monotonic() - tp
+            uncommitted = wave
             if self.checkpoint_every and wave % self.checkpoint_every == 0:
+                # durability ordering: staged deltas committed and all
+                # wave files on disk BEFORE the checkpoint snapshots
+                tp = time.monotonic()
+                ray.get([s.commit_wave.remote(wave) for s in self.shards])
+                uncommitted = -1
+                self._phase["commit"] += time.monotonic() - tp
+                ray.get(self._pending_writes)
+                self._pending_writes.clear()
                 ray.get([s.checkpoint.remote(self.ckpt_dir) for s in self.shards])
                 self._write_manifest(wave, n_sent)
             wave += 1
+        if uncommitted >= 0:
+            tp = time.monotonic()
+            ray.get([s.commit_wave.remote(uncommitted) for s in self.shards])
+            self._phase["commit"] += time.monotonic() - tp
+        ray.get(self._pending_writes)
+        self._pending_writes.clear()
         elapsed = time.monotonic() - t0
 
         # Final authoritative status table + lineage. Each shard writes
@@ -369,16 +409,19 @@ class CrawlJob:
             json.dump(summary, f, indent=1)
         return summary
 
-    def _fetch_batch(self, budget: int):
+    def _fetch_batch(self, budget: int, commit_wave: int = -1):
         """Global top-`budget` under the fetch.sql comparator, as an Arrow
         table. Shards pre-sort locally (domains never span shards, so the
         union of shard-local top-B contains the global top-B); the driver
-        merge is one np.lexsort over ≤ n_shards×B rows."""
+        merge is one np.lexsort over ≤ n_shards×B rows. ``commit_wave``
+        ≥ 0 commits that wave's staged deltas in the same round-trip."""
         import numpy as np
 
         tables = ray.get(
             [
-                s.candidates_table.remote(budget, self.params.max_depth)
+                s.commit_then_candidates.remote(
+                    commit_wave, budget, self.params.max_depth
+                )
                 for s in self.shards
             ]
         )
@@ -401,7 +444,7 @@ class CrawlJob:
         ray.get(futures)
         return sel
 
-    def _run_wave(self, wave: int, batch: pa.Table, analyze, push) -> None:
+    def _run_wave(self, wave: int, batch: pa.Table) -> None:
         import numpy as np
 
         tp = time.monotonic()
@@ -466,19 +509,25 @@ class CrawlJob:
         tp = time.monotonic()
         ray.wait(refs, num_returns=len(refs))
         self._phase["fetch_wait"] += time.monotonic() - tp
+        # Raw-task analyze+push per fetched block (no per-wave streaming
+        # executor — its ~0.5-1 s spin-up was pure serial-fraction); a
+        # completed task implies its frontier pushes landed, so waiting
+        # on all of them IS the wave's push barrier.
         tp = time.monotonic()
-        ds = rd.from_arrow_refs(refs)
-        ds = ds.map_batches(analyze, batch_format="pyarrow", batch_size=None)
-        ds = ds.map_batches(push, batch_format="pyarrow", batch_size=None)
-        # format seam (Lance when available, parquet fallback): the wave
-        # output goes through sources/corpus.py like every other sink
-        from ..sources.corpus import write_dataset
-
-        write_dataset(ds, os.path.join(self.wave_dir, f"wave={wave:05d}"))
+        out_refs = [
+            _process_block.remote(
+                r, self.directives_source, self.shards, self.n_shards
+            )
+            for r in refs
+        ]
+        ray.wait(out_refs, num_returns=len(out_refs))
         self._phase["dataset"] += time.monotonic() - tp
-        if os.environ.get("LOPEZ_RAY_WAVE_STATS"):
-            print(f"--- wave {wave} ({len(batch)} urls) stats ---")
-            print(ds.stats())
+        # wave-output writes happen OFF the critical path (joined before
+        # checkpoints and at crawl end) through the format seam
+        out_dir = os.path.join(self.wave_dir, f"wave={wave:05d}")
+        self._pending_writes.extend(
+            _write_wave_block.remote(r, out_dir, i) for i, r in enumerate(out_refs)
+        )
 
     # ----- outputs -----
 

@@ -71,8 +71,22 @@ def read_dataset_dirs(paths: list[str], columns: list[str] | None = None):
     written by ``write_dataset``), format-detected per directory."""
     import ray.data as rd
 
-    if HAVE_LANCE and paths and _is_lance_dir(paths[0]):
-        parts = [rd.read_lance(p, columns=columns) for p in paths]
+    def _lance_subdirs(p: str) -> list[str]:
+        if not (HAVE_LANCE and os.path.isdir(p)):
+            return []
+        return sorted(
+            os.path.join(p, d)
+            for d in os.listdir(p)
+            if _is_lance_dir(os.path.join(p, d))
+        )
+
+    if HAVE_LANCE and paths and (
+        _is_lance_dir(paths[0]) or _lance_subdirs(paths[0])
+    ):
+        leaf = []
+        for p in paths:
+            leaf.extend([p] if _is_lance_dir(p) else _lance_subdirs(p))
+        parts = [rd.read_lance(p, columns=columns) for p in leaf]
         ds = parts[0]
         return ds.union(*parts[1:]) if len(parts) > 1 else ds
     # rd.read_parquet on a list accepts files, not directories: expand
@@ -89,10 +103,18 @@ def read_dataset_dirs(paths: list[str], columns: list[str] | None = None):
 
 def dataset_schema(path: str):
     """Arrow schema of one written dataset directory (cheap metadata read)."""
-    if HAVE_LANCE and _is_lance_dir(path):
+    if HAVE_LANCE and os.path.isdir(path):
         import lance as _lance
 
-        return _lance.dataset(path).schema
+        if _is_lance_dir(path):
+            return _lance.dataset(path).schema
+        subs = sorted(
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if _is_lance_dir(os.path.join(path, d))
+        )
+        if subs:
+            return _lance.dataset(subs[0]).schema
     import glob
 
     import pyarrow.parquet as pq
@@ -120,6 +142,29 @@ def write_dataset(ds, path: str) -> None:
         ds.write_lance(path)
     else:
         ds.write_parquet(path)
+
+
+def write_block(table, directory: str, index: int) -> str:
+    """One block of a dataset directory through the format seam: a
+    ``NNNNNN.parquet`` file (atomic tmp+rename), or a per-block Lance
+    dataset subdir when Lance is available. The crawl's async wave
+    writers use this so each block lands independently off the wave
+    barrier's critical path; ``read_table``/``read_dataset_dirs``
+    understand both layouts."""
+    os.makedirs(directory, exist_ok=True)
+    if HAVE_LANCE:
+        import lance as _lance
+
+        path = os.path.join(directory, f"{index:06d}.lance")
+        _lance.write_dataset(table, path, mode="create")
+        return path
+    import pyarrow.parquet as pq
+
+    path = os.path.join(directory, f"{index:06d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def write_table(table, path: str) -> None:
