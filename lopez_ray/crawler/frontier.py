@@ -146,10 +146,13 @@ class FrontierShard:
         per shard per wave instead of two sequential driver barriers
         (commit … then candidates was ~2 RTT + two ray.get fan-ins on
         the serial path that caps scaling efficiency). ``wave < 0``
-        skips the commit (first wave / fresh resume)."""
+        skips the commit (first wave / fresh resume). URLs are NOT
+        included — the driver pulls urls for the global winners only
+        (``take_with_urls``), so the merge transfer is 32 B/candidate
+        instead of shipping n_shards×B url strings every wave."""
         if wave >= 0:
             self.commit_wave(wave)
-        return self.candidates_table(limit, max_depth)
+        return self.candidates_table(limit, max_depth, with_urls=False)
 
     # ----- batch selection (fetch.sql) -----
 
@@ -177,7 +180,9 @@ class FrontierShard:
                 entries.append((counts[i], d, pid, self.pages[pid][0]))
         return nsmallest(limit, entries)
 
-    def candidates_table(self, limit: int, max_depth: int) -> pa.Table:
+    def candidates_table(
+        self, limit: int, max_depth: int, with_urls: bool = True
+    ) -> pa.Table:
         """Vectorized ``candidates``: same comparator ((count, depth,
         page_id) via np.lexsort ≡ nsmallest over tuples), returned as an
         Arrow table with the cached host hash so the driver's merge,
@@ -207,25 +212,37 @@ class FrontierShard:
             counts.append(c_arr)
             depths.append(d_arr)
             pids.append(p_arr)
-            urls.extend(self.pages[p][0] for p in p_arr)
+            if with_urls:
+                urls.extend(self.pages[p][0] for p in p_arr)
             hhs.append(np.full(len(eligible), hh, np.int64))
         if not pids:
-            return CANDIDATE_SCHEMA.empty_table()
+            schema = (
+                CANDIDATE_SCHEMA
+                if with_urls
+                else pa.schema([f for f in CANDIDATE_SCHEMA if f.name != "url"])
+            )
+            return schema.empty_table()
         cnt = np.concatenate(counts)
         dep = np.concatenate(depths)
         pid = np.concatenate(pids)
         hh_all = np.concatenate(hhs)
         order = np.lexsort((pid, dep, cnt))[:limit]
-        url_arr = pa.array(urls, pa.large_utf8()).take(pa.array(order))
-        return pa.table(
-            {
-                "count": pa.array(cnt[order], pa.int64()),
-                "depth": pa.array(dep[order], pa.int32()),
-                "page_id": pa.array(pid[order], pa.int64()),
+        cols = {
+            "count": pa.array(cnt[order], pa.int64()),
+            "depth": pa.array(dep[order], pa.int32()),
+            "page_id": pa.array(pid[order], pa.int64()),
+            "host_hash": pa.array(hh_all[order], pa.int64()),
+        }
+        if with_urls:
+            url_arr = pa.array(urls, pa.large_utf8()).take(pa.array(order))
+            cols = {
+                "count": cols["count"],
+                "depth": cols["depth"],
+                "page_id": cols["page_id"],
                 "url": url_arr,
-                "host_hash": pa.array(hh_all[order], pa.int64()),
+                "host_hash": cols["host_hash"],
             }
-        )
+        return pa.table(cols)
 
     def take(self, page_ids) -> None:
         for pid in page_ids:
@@ -234,6 +251,29 @@ class FrontierShard:
             if rec is not None and rec[2] == OPEN:
                 rec[2] = TAKEN
                 self.open_by_host[rec[4]].pop(pid, None)
+
+    def take_with_urls(self, page_ids) -> pa.Table:
+        """``take`` + return (page_id, url) for the taken winners — the
+        driver fetch-batch pulls url strings ONLY for the global top-B
+        rows (candidates ship url-free; see commit_then_candidates)."""
+        urls: list[str] = []
+        pids_out: list[int] = []
+        for pid in page_ids:
+            pid = int(pid)
+            rec = self.pages.get(pid)
+            if rec is None:
+                continue
+            if rec[2] == OPEN:
+                rec[2] = TAKEN
+                self.open_by_host[rec[4]].pop(pid, None)
+            pids_out.append(pid)
+            urls.append(rec[0])
+        return pa.table(
+            {
+                "page_id": pa.array(pids_out, pa.int64()),
+                "url": pa.array(urls, pa.large_utf8()),
+            }
+        )
 
     # ----- completion -----
 

@@ -432,17 +432,32 @@ class CrawlJob:
         cnt = t["count"].to_numpy()
         dep = t["depth"].to_numpy()
         pid = t["page_id"].to_numpy()
+        if len(pid) > budget * 2:
+            # two-stage selection: O(n) argpartition on a packed
+            # (count, depth) key prunes to ~budget rows (+ boundary
+            # ties) before the exact lexsort — the full n_shards×B
+            # lexsort was ~0.3-0.5 s of driver-serial per wave
+            packed = (cnt.astype(np.uint64) << np.uint64(16)) | dep.astype(
+                np.uint64
+            )
+            kth = np.partition(packed, budget - 1)[budget - 1]
+            keep = np.flatnonzero(packed <= kth)
+            cnt, dep, pid = cnt[keep], dep[keep], pid[keep]
+            t = t.take(pa.array(keep))
         order = np.lexsort((pid, dep, cnt))[:budget]
         sel = t.take(pa.array(order))
         hh = sel["host_hash"].to_numpy()
         pids = sel["page_id"].to_numpy()
         shard_idx = hh % self.n_shards
         futures = [
-            self.shards[s].take.remote(pids[shard_idx == s])
+            self.shards[s].take_with_urls.remote(pids[shard_idx == s])
             for s in np.unique(shard_idx)
         ]
-        ray.get(futures)
-        return sel
+        url_tbl = pa.concat_tables(ray.get(futures))
+        upid = url_tbl["page_id"].to_numpy()
+        uorder = np.argsort(upid)
+        pos = uorder[np.searchsorted(upid[uorder], pids)]
+        return sel.append_column("url", url_tbl["url"].take(pa.array(pos)))
 
     def _run_wave(self, wave: int, batch: pa.Table) -> None:
         import numpy as np
