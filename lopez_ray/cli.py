@@ -100,17 +100,17 @@ def cmd_test(args) -> int:
     boundaries = d.boundaries()
     actual_url = boundaries.clean_query_params(args.url)
     report: dict = {"actual_url": actual_url}
-    # Downloader routing (reference crawler/downloader/web_driver.rs:9-105):
-    # URLs matching a `use webdriver on "re"` pattern route to the
-    # webdriver downloader — stubbed in this sandbox (no browser), but the
-    # route decision itself is real and reported here.
-    import re as _re
+    # Downloader routing (reference crawler/downloader/web_driver.rs:9-105
+    # + SelectiveDownloader, directives/mod.rs:164-177): URLs matching a
+    # `use webdriver on "re"` pattern take the W3C WebDriver protocol
+    # path (crawler/webdriver.py) — the real wire client over the
+    # fixture browser in this sandbox, or a chromedriver endpoint via
+    # HttpTransport when LOPEZ_WEBDRIVER_URL points at one.
+    from .crawler.webdriver import WebDriverSelector
 
-    wd = d.webdriver_patterns()
+    wd = WebDriverSelector(d.webdriver_patterns())
     report["downloader"] = (
-        "webdriver (stubbed in sandbox; route decision only)"
-        if any(_re.search(p, actual_url) for p in wd)
-        else "simple"
+        "webdriver" if wd.use_webdriver(actual_url) else "simple"
     )
     if not boundaries.is_allowed(actual_url):
         report["report"] = "DisallowedByDirectives"
@@ -130,6 +130,7 @@ def cmd_test(args) -> int:
         max_hits_per_sec=params.max_hits_per_sec,
         request_timeout=params.request_timeout,
         max_body_size=params.max_body_size,
+        webdriver_patterns=d.webdriver_patterns(),
     )
     batch = pa.table(
         {

@@ -96,6 +96,7 @@ class FetchStage:
         web_index_ref=None,
         corpus_index_ref=None,
         max_body_size: int = 10_000_000,
+        webdriver_patterns: list[str] | None = None,
     ):
         # The web and corpus fixtures arrive as ObjectRefs to ARROW TABLES
         # put in plasma ONCE by the driver — every actor on a node then
@@ -145,6 +146,15 @@ class FetchStage:
             self.corpus["caption"].combine_chunks()
             if self.corpus is not None
             else None
+        )
+        # Per-URL downloader routing (SelectiveDownloader,
+        # directives/mod.rs:164-177): URLs matching a `use webdriver on`
+        # pattern take the WebDriver protocol path. Compiled once per
+        # actor; with no patterns the check is a single falsy test.
+        from .webdriver import WebDriverSelector
+
+        self.wd_selector = (
+            WebDriverSelector(webdriver_patterns) if webdriver_patterns else None
         )
 
     def fetch(self, batch: pa.Table) -> pa.Table:
@@ -262,15 +272,42 @@ class FetchStage:
                 image_id = row["image_id"]
                 idx = corpus_of.get(int(idxs[pos]), -1)
                 cap = self._cap_arr[idx].as_py() if idx >= 0 else None
-                html = render_page(url, row["links"], row["canonical"], cap, image_id)
-                # max_body_size truncation (reference crawler/downloader/
-                # mod.rs:114-135: body bytes past the cap are cut, then
-                # the truncated buffer is decoded lossily) — a too-big
-                # page PARSES DIFFERENTLY, it doesn't error.
-                if len(html) * 4 > self.max_body_size:  # cheap UTF-8 bound
-                    body = html.encode("utf-8")
-                    if len(body) > self.max_body_size:
-                        html = body[: self.max_body_size].decode("utf-8", "replace")
+                if self.wd_selector is not None and self.wd_selector.use_webdriver(url):
+                    # WebDriver route: the REAL protocol client (session →
+                    # goto → execute-async snapshot → quit) against the
+                    # fixture browser; fresh transport per download like
+                    # the reference (web_driver.rs:46-48). Note: the
+                    # reference's webdriver path has NO max_body_size
+                    # truncation (that lives in SimpleDownloader's body
+                    # stream, mod.rs:114-135) — mirrored here.
+                    from .webdriver import (
+                        FixtureWebDriverTransport,
+                        WebDriverDownloader,
+                    )
+
+                    dl = WebDriverDownloader(
+                        connect=lambda r=row, c=cap: FixtureWebDriverTransport(
+                            lambda u, r=r, c=c: render_page(
+                                u, r["links"], r["canonical"], c, r["image_id"]
+                            )
+                        ),
+                        user_agent=self.agent,
+                        direct_get=lambda _u, sc=code: (sc, None),
+                    )
+                    html = dl.download(url)["content"].decode("utf-8")
+                else:
+                    html = render_page(
+                        url, row["links"], row["canonical"], cap, image_id
+                    )
+                    # max_body_size truncation (reference crawler/downloader/
+                    # mod.rs:114-135: body bytes past the cap are cut, then
+                    # the truncated buffer is decoded lossily) — a too-big
+                    # page PARSES DIFFERENTLY, it doesn't error. Simple
+                    # route only.
+                    if len(html) * 4 > self.max_body_size:  # cheap UTF-8 bound
+                        body = html.encode("utf-8")
+                        if len(body) > self.max_body_size:
+                            html = body[: self.max_body_size].decode("utf-8", "replace")
                 out["outcome"].append("success")
                 out["status_code"].append(code)
                 out["html"].append(html)

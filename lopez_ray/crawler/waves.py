@@ -289,6 +289,7 @@ class CrawlJob:
                 web_index_ref=web_index_ref,
                 corpus_index_ref=corpus_index_ref,
                 max_body_size=self.params.max_body_size,
+                webdriver_patterns=self.directives.webdriver_patterns(),
             )
             for _ in range(self.n_fetchers)
         ]
