@@ -118,6 +118,26 @@ class MinHasher:
         self.k = k
         self.text_col = text_col
         self.id_col = id_col
+        # Persistent chunk buffers (shingles × num_perm), grown on
+        # demand and reused across chunks AND batches: on this class of
+        # sandbox VM, first-touch page faults on a fresh ~240 MB numpy
+        # array run ~40× slower than in-place ops on warm memory, so
+        # every per-batch `base[:,None]*a` allocation was the hottest
+        # line of the whole minhash stage. All permutation arithmetic
+        # below writes into these with out=/in-place ufuncs.
+        self._vals: np.ndarray | None = None
+        self._hi: np.ndarray | None = None
+        self._mask: np.ndarray | None = None
+
+    _CHUNK = 1 << 16  # shingle rows per chunk (32 MB of u64 at 64 perms)
+
+    def _bufs(self, m: int):
+        if self._vals is None or len(self._vals) < m:
+            size = max(m, self._CHUNK)
+            self._vals = np.empty((size, self.num_perm), np.uint64)
+            self._hi = np.empty_like(self._vals)
+            self._mask = np.empty((size, self.num_perm), bool)
+        return self._vals[:m], self._hi[:m], self._mask[:m]
 
     def signature(self, text: str) -> np.ndarray:
         sigs = self.signatures([text])
@@ -140,19 +160,44 @@ class MinHasher:
         # signature pipeline (incl. the uint64 WRAPPING mul/add below) is
         # reproducible in the minhash_pairs SQL oracle.
         base = md5_u64_batch(all_shingles) >> np.uint64(3)
-        with np.errstate(over="ignore"):
-            vals = (base[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
-                _MERSENNE
-            )
         starts = np.array(offsets[:-1])
         ends = np.array(offsets[1:])
         nonempty = np.where(ends > starts)[0]
-        if len(nonempty):
-            mins = np.minimum.reduceat(vals, starts[nonempty], axis=0)
-            # reduceat with consecutive indices reduces each [start_i, start_{i+1})
-            # only when starts are strictly increasing and cover to the end;
-            # using only nonempty starts keeps segments aligned to docs.
-            out[nonempty] = mins.astype(np.int64)
+        M = np.uint64(_MERSENNE)
+        # Chunked permutation pass: (a*x + b) wrapping-u64, then
+        # mod 2^61-1 via the Mersenne shift-add identity
+        # (x ≡ (x & M) + (x >> 61) mod M; the sum is < 2M so one
+        # conditional subtract finishes). Bit-identical to `% M` — the
+        # SQL oracle's % stays exact — and every op writes in-place
+        # into the persistent chunk buffers (see _bufs): the fresh
+        # (n_shingles × num_perm) allocation plus numpy's
+        # division-based u64 % together were ~4.9 s of a 7.2 s
+        # 4096-doc batch.
+        lo = 0
+        with np.errstate(over="ignore"):
+            while lo < len(nonempty):
+                hi_doc = lo
+                while hi_doc < len(nonempty) and (
+                    hi_doc == lo
+                    or ends[nonempty[hi_doc]] - starts[nonempty[lo]] <= self._CHUNK
+                ):
+                    hi_doc += 1
+                seg = nonempty[lo:hi_doc]
+                s0, s1 = starts[seg[0]], ends[seg[-1]]
+                v, h, msk = self._bufs(s1 - s0)
+                np.multiply(base[s0:s1, None], self.a[None, :], out=v)
+                v += self.b[None, :]
+                np.right_shift(v, np.uint64(61), out=h)
+                v &= M
+                v += h
+                np.greater_equal(v, M, out=msk)
+                np.subtract(v, M, out=v, where=msk)
+                # reduceat with nonempty doc starts reduces each
+                # [start_i, start_{i+1}) (empty docs share offsets, so
+                # consecutive nonempty starts are exact segment bounds)
+                mins = np.minimum.reduceat(v, starts[seg] - s0, axis=0)
+                out[seg] = mins.astype(np.int64)
+                lo = hi_doc
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -592,6 +637,61 @@ def _hamming_pairs_tiled(sigs: np.ndarray, max_d: int, tile: int = 2048):
     return np.concatenate(ii), np.concatenate(jj), np.concatenate(dd)
 
 
+def _sig_pairs_recursive(
+    uniq: np.ndarray, free_mask: np.uint64, max_d: int, cap: int = 2048
+):
+    """Exact (i, j, d) index pairs into ``uniq`` (distinct signatures)
+    with hamming <= max_d, i < j — with a HOT-BUCKET guard.
+
+    Correlated corpora (shared boilerplate/stopword mass) concentrate
+    signatures: measured on a 1M-doc synthetic corpus, one 16-bit band
+    key held ~5% of all docs, so the naive within-bucket tiled matrix
+    was O((0.05n)²) on a single reduce partition — a 900+ s straggler
+    at 1M docs. Instead, a bucket larger than ``cap`` is split by
+    SUB-BANDING its free bits (the bits not already fixed by the outer
+    band): split the free bits into max_d+1 disjoint chunks — any pair
+    within hamming <= max_d of each other differs in at most max_d free
+    bits, so by pigeonhole it matches >= 1 chunk exactly and is found
+    in that chunk's sub-bucket. Recursion consumes free bits each
+    level, and a bucket of distinct signatures equal on all consumed
+    bits has size <= 2^(remaining free bits), so termination is
+    guaranteed; pairs found via multiple chunks are deduped vectorized.
+    """
+    n = len(uniq)
+    bitpos = np.arange(64, dtype=np.uint64)
+    free_bits = np.flatnonzero(((free_mask >> bitpos) & np.uint64(1)).astype(bool))
+    if n <= cap or len(free_bits) < max_d + 1:
+        return _hamming_pairs_tiled(uniq, max_d)
+    out_i, out_j, out_d = [], [], []
+    for chunk in np.array_split(free_bits, max_d + 1):
+        cmask = np.bitwise_or.reduce(np.uint64(1) << chunk.astype(np.uint64))
+        keys = uniq & cmask
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], n]
+        big = ends - starts >= 2
+        for s, e in zip(starts[big], ends[big]):
+            idx = order[s:e]
+            si, sj, sd = _sig_pairs_recursive(
+                uniq[idx], free_mask & ~cmask, max_d, cap
+            )
+            if len(si):
+                gi, gj = idx[si], idx[sj]
+                out_i.append(np.minimum(gi, gj))
+                out_j.append(np.maximum(gi, gj))
+                out_d.append(sd)
+    if not out_i:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    dd = np.concatenate(out_d)
+    packed = (ii.astype(np.uint64) << np.uint64(32)) | jj.astype(np.uint64)
+    _, first = np.unique(packed, return_index=True)
+    return ii[first], jj[first], dd[first]
+
+
 def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"):
     """Near-dup pairs by SimHash: 4×16-bit band blocking (a pair within
     hamming<=3 must agree on >=1 band, by pigeonhole) → hamming verify
@@ -644,6 +744,9 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["id"].to_numpy()
         sims = g["sim"].to_numpy().view(np.uint64)
+        band = int(g["band"].iloc[0])
+        # bits already fixed by this bucket's matching band
+        free_mask = ~(np.uint64(0xFFFF) << (np.uint64(16) * np.uint64(band)))
         order = np.argsort(ids, kind="stable")
         ids, sims = ids[order], sims[order]
         uniq, inv = np.unique(sims, return_inverse=True)
@@ -655,9 +758,10 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
             out_a.append(members[iu])
             out_b.append(members[ju])
             out_d.append(np.zeros(len(iu), dtype=np.int64))
-        # distinct-signature pairs → tiled sparse hamming
+        # distinct-signature pairs → tiled sparse hamming, sub-banded
+        # recursively when the bucket is hot (see _sig_pairs_recursive)
         if len(uniq) > 1:
-            ii, jj, dd = _hamming_pairs_tiled(uniq, max_hamming)
+            ii, jj, dd = _sig_pairs_recursive(uniq, free_mask, max_hamming)
             for i, j, d in zip(ii, jj, dd):
                 ma, mb = ids[inv == i], ids[inv == j]
                 ga, gb = np.meshgrid(ma, mb, indexing="ij")

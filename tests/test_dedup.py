@@ -177,3 +177,33 @@ def test_ngram_jaccard_pairs_exact(ray_session):
     assert set(got) == set(want)
     for k_, v in want.items():
         assert abs(got[k_] - v) < 1e-12
+
+
+def test_sig_pairs_recursive_exact_on_hot_bucket():
+    """Sub-banded recursion (hot-bucket guard) finds exactly the pairs
+    the brute-force tiled matrix finds — on a correlated signature set
+    that forces several recursion levels."""
+    import numpy as np
+
+    from lopez_ray.stages.dedup import _hamming_pairs_tiled, _sig_pairs_recursive
+
+    rng = np.random.default_rng(7)
+    # a "hot band-0 bucket": low 16 bits all equal, upper 48 correlated
+    # (few active bit positions) so near pairs are plentiful
+    base = np.uint64(0xBEEF)
+    n = 3000
+    highs = np.zeros(n, dtype=np.uint64)
+    active = rng.choice(np.arange(16, 64), size=10, replace=False)
+    for b in active:
+        highs |= (
+            rng.integers(0, 2, n).astype(np.uint64) << np.uint64(b)
+        )
+    sigs = np.unique(highs | base)
+    free_mask = ~np.uint64(0xFFFF)  # band 0 fixed
+    for max_d in (1, 3):
+        bi, bj, bd = _hamming_pairs_tiled(sigs, max_d)
+        ri, rj, rd = _sig_pairs_recursive(sigs, free_mask, max_d, cap=64)
+        want = {(int(i), int(j)): int(d) for i, j, d in zip(bi, bj, bd)}
+        got = {(int(i), int(j)): int(d) for i, j, d in zip(ri, rj, rd)}
+        assert got == want
+        assert len(want) > 0  # the fixture actually exercises pairs
