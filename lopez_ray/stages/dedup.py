@@ -133,7 +133,10 @@ class MinHasher:
 
     def _bufs(self, m: int):
         if self._vals is None or len(self._vals) < m:
-            size = max(m, self._CHUNK)
+            # exact-size first, doubling growth after: a small corpus
+            # must not pay the full 32 MB chunk buffer's first-touch
+            # cost (at full batches m hits _CHUNK immediately anyway)
+            size = m if self._vals is None else max(m, 2 * len(self._vals))
             self._vals = np.empty((size, self.num_perm), np.uint64)
             self._hi = np.empty_like(self._vals)
             self._mask = np.empty((size, self.num_perm), bool)
