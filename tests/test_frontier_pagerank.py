@@ -120,3 +120,27 @@ def test_pagerank_ray_matches_numpy(ray_session):
     got = dict(zip(out["page_id"].to_pylist(), out["rank"].to_pylist()))
     for n_, r_ in zip(nodes, ranks):
         assert got[int(n_)] == pytest.approx(float(r_), rel=1e-9)
+
+
+def test_candidates_url_free_and_take_with_urls():
+    """Wave-merge wire contract (waves.py _fetch_batch): candidate
+    tables ship WITHOUT url strings; the driver pulls urls only for the
+    selected winners via take_with_urls, which also marks them taken."""
+    s = FrontierShard(0, 1)
+    urls = [f"https://a.test/{i}" for i in range(6)]
+    s.seed(urls)
+    t = s.commit_then_candidates(-1, 10, 7)
+    assert "url" not in t.column_names  # url-free wire format
+    assert set(t.column_names) == {"count", "depth", "page_id", "host_hash"}
+    pids = t["page_id"].to_pylist()[:3]
+    out = s.take_with_urls(pids)
+    # urls come back aligned to the requested page ids, and the rows
+    # are now taken (a second candidates pull excludes them)
+    got = dict(zip(out["page_id"].to_pylist(), out["url"].to_pylist()))
+    assert set(got) == set(pids)
+    assert all(u in urls for u in got.values())
+    assert s.taken_count() == 3
+    t2 = s.candidates_table(10, 7)
+    assert set(t2["page_id"].to_pylist()).isdisjoint(pids)
+    # with_urls variant still carries urls (single-URL CLI path)
+    assert "url" in t2.column_names
