@@ -287,6 +287,37 @@ def ivf_build(
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["centroid"]
     )
+
+    # Small-files compaction: the partitioned write produces one file
+    # per (write task × centroid) — measured 51,200 ~15 KB files at 1M
+    # vectors / 256 lists, which made a search spend ~1 ms of parquet
+    # metadata per file (94 s for a read the brute-force scan of ONE
+    # file did in 2.8 s). Rewrite each inverted list as a single file,
+    # in parallel, one task per list (the standard compaction pass a
+    # table format would run; deliberately NOT a Ray shuffle — the
+    # ragged list<float> vector column must never transit one).
+    import glob as _glob
+
+    import ray
+
+    @ray.remote
+    def _compact(cdir: str) -> int:
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(cdir, "*.parquet")))
+        if len(files) <= 1:
+            return 0
+        tbl = _pq.read_table(files)
+        tmp = os.path.join(cdir, "_compact.tmp")
+        _pq.write_table(tbl, tmp)
+        for f in files:
+            os.remove(f)
+        os.rename(tmp, os.path.join(cdir, "list.parquet"))
+        return len(files)
+
+    cdirs = _glob.glob(os.path.join(index_dir, "centroid=*"))
+    ray.get([_compact.remote(d) for d in cdirs])
+
     np.save(os.path.join(index_dir, "centroids.npy"), index.centroids)
     with open(os.path.join(index_dir, "_DONE"), "w") as f:
         f.write("ok")
@@ -331,27 +362,34 @@ def ivf_search(
         )
     pruned = rd.read_parquet(paths, columns=[id_col, vec_col, "cent"])
 
+    # (n_centroids × nq) membership LUT: probe-set masking becomes one
+    # fancy index instead of a per-query np.isin pass. The per-batch
+    # compute is then a SINGLE (batch × nq) matmul — the same kernel as
+    # brute_force_topk, just over the pruned read. (The per-query
+    # loop + isin + fancy-index shape measured 94 s for 64 queries over
+    # 1M vectors where the full brute-force scan took 2.8 s: the index
+    # must never lose to the scan it prunes.)
+    allowed = np.zeros((len(centroids), len(q)), dtype=bool)
+    for qi, row in enumerate(probes):
+        allowed[row, qi] = True
+
     def partial(batch: pa.Table) -> pa.Table:
         vecs = _normalize(vecs_of(batch, vec_col))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cents = batch["cent"].to_numpy(zero_copy_only=False).astype(np.int32)
-        rows = {"query_idx": [], id_col: [], "score": []}
-        for qi in range(len(q)):
-            mask = np.isin(cents, list(probe_sets[qi]))
-            if not mask.any():
-                continue
-            sims = vecs[mask] @ q[qi]
-            sub_ids = ids[mask]
-            kk = min(k, len(sub_ids))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            rows["query_idx"].extend([qi] * kk)
-            rows[id_col].extend(int(i) for i in sub_ids[top])
-            rows["score"].extend(float(s) for s in sims[top])
+        sims = vecs @ q.T  # (n, nq)
+        np.copyto(sims, -np.inf, where=~allowed[cents])
+        nq = q.shape[0]
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        scores = np.take_along_axis(sims, top, axis=0)
+        qidx = np.broadcast_to(np.arange(nq, dtype=np.int32), (kk, nq))
+        keep = scores > -np.inf  # rows outside a query's probe set
         return pa.table(
             {
-                "query_idx": pa.array(rows["query_idx"], pa.int32()),
-                id_col: pa.array(rows[id_col], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
+                "query_idx": pa.array(qidx[keep], pa.int32()),
+                id_col: pa.array(ids[top][keep], pa.int64()),
+                "score": pa.array(scores[keep], pa.float64()),
             }
         )
 
@@ -371,22 +409,22 @@ def ivf_search(
                 "score": pa.array([], pa.float64()),
             }
         )
-    df = pa.concat_tables(tables).to_pandas()
-    out = {"query_idx": [], id_col: [], "score": []}
-    for qi, g in df.groupby("query_idx"):
-        best = heapq.nsmallest(
-            k,
-            g.itertuples(index=False),
-            key=lambda t: (-t.score, getattr(t, id_col)),
-        )
-        for t in best:
-            out["query_idx"].append(qi)
-            out[id_col].append(getattr(t, id_col))
-            out["score"].append(t.score)
+    merged = pa.concat_tables(tables)
+    # vectorized per-query top-k over the tiny partial set (same
+    # (-score, id) tie order the heapq merge used)
+    qv = merged["query_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sv = merged["score"].to_numpy(zero_copy_only=False)
+    iv = merged[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((iv, -sv, qv))
+    qs = qv[order]
+    grp_start = np.maximum.accumulate(
+        np.where(np.r_[True, qs[1:] != qs[:-1]], np.arange(len(qs)), 0)
+    )
+    sel = order[np.arange(len(qs)) - grp_start < k]
     return pa.table(
         {
-            "query_idx": pa.array(out["query_idx"], pa.int32()),
-            id_col: pa.array(out[id_col], pa.int64()),
-            "score": pa.array(out["score"], pa.float64()),
+            "query_idx": pa.array(qv[sel].astype(np.int32), pa.int32()),
+            id_col: pa.array(iv[sel], pa.int64()),
+            "score": pa.array(sv[sel], pa.float64()),
         }
     )
