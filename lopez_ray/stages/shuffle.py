@@ -87,6 +87,12 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     block_refs = ds.to_arrow_refs()
     if not block_refs:
         return rd.from_items([])
+    # scale the partition fan-out with the INPUT's block count (a free
+    # signal): a toy input in 2 blocks doesn't need 64 reduce tasks'
+    # scheduling latency per barrier (5 chained barriers at sf0.1 paid
+    # ~2-3 s of pure task overhead), while a corpus-sized input (tens
+    # to hundreds of blocks) keeps the full fan-out
+    n_parts = min(n_parts, max(4, 2 * len(block_refs)))
     per_part: list[list] = [[] for _ in range(n_parts)]
     for ref in block_refs:
         refs = split.options(num_returns=n_parts).remote(ref)
