@@ -274,49 +274,73 @@ def ivf_build(
 
     if os.path.exists(os.path.join(index_dir, "_DONE")):
         return index_dir
+    import ray
+
     sample = _sample_matrix(ds, id_col, vec_col, sample_size)
     index = IVFIndex(n_centroids=n_centroids).fit(sample)
 
     def assign(b: pa.Table) -> pa.Table:
-        out = index.assign_batch(b, vec_col)
-        # duplicate the id: `centroid` becomes the partition PATH (and is
-        # consumed by the writer); `cent` stays inside the data files.
-        return out.append_column("cent", out["centroid"])
+        return index.assign_batch(b, vec_col).rename_columns(
+            [*b.column_names, "cent"]
+        )
 
     os.makedirs(index_dir, exist_ok=True)
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["centroid"]
-    )
 
-    # Small-files compaction: the partitioned write produces one file
-    # per (write task × centroid) — measured 51,200 ~15 KB files at 1M
-    # vectors / 256 lists, which made a search spend ~1 ms of parquet
-    # metadata per file (94 s for a read the brute-force scan of ONE
-    # file did in 2.8 s). Rewrite each inverted list as a single file,
-    # in parallel, one task per list (the standard compaction pass a
-    # table format would run; deliberately NOT a Ray shuffle — the
-    # ragged list<float> vector column must never transit one).
-    import glob as _glob
-
-    import ray
+    # One file per inverted list, written by a raw-task exchange: each
+    # block splits into per-centroid sub-tables (num_returns fan-out —
+    # the slices flow task-to-task through the object store, never the
+    # driver), and one writer task per list concatenates its chunks and
+    # writes a single parquet file. A naive
+    # write_parquet(partition_cols=["centroid"]) left one file per
+    # (write task × centroid) — 51,200 ~15 KB files at 1M vectors /
+    # 256 lists, ~1 ms of parquet metadata per file at search time
+    # (94 s for a read the brute-force scan of ONE file did in 2.8 s) —
+    # and compacting afterwards would write the corpus twice. This is
+    # deliberately NOT a Ray shuffle: the ragged list<float> vector
+    # column never transits one (pa.Table.take inside a task is safe).
+    @ray.remote
+    def _split(tbl: pa.Table):
+        cents = tbl["cent"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cents, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(cents[order], np.arange(n_centroids + 1))
+        return tuple(
+            sorted_tbl.slice(bounds[c], bounds[c + 1] - bounds[c])
+            if bounds[c + 1] > bounds[c]
+            else None
+            for c in range(n_centroids)
+        )
 
     @ray.remote
-    def _compact(cdir: str) -> int:
+    def _write_list(cdir: str, *chunks) -> int:
         import pyarrow.parquet as _pq
 
-        files = sorted(_glob.glob(os.path.join(cdir, "*.parquet")))
-        if len(files) <= 1:
+        got = [c for c in chunks if c is not None and c.num_rows]
+        if not got:
             return 0
-        tbl = _pq.read_table(files)
-        tmp = os.path.join(cdir, "_compact.tmp")
+        tbl = pa.concat_tables(got)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, "_list.tmp")
         _pq.write_table(tbl, tmp)
-        for f in files:
-            os.remove(f)
         os.rename(tmp, os.path.join(cdir, "list.parquet"))
-        return len(files)
+        return tbl.num_rows
 
-    cdirs = _glob.glob(os.path.join(index_dir, "centroid=*"))
-    ray.get([_compact.remote(d) for d in cdirs])
+    block_refs = ds.map_batches(assign, batch_format="pyarrow").to_arrow_refs()
+    per_list: list[list] = [[] for _ in range(n_centroids)]
+    for ref in block_refs:
+        parts = _split.options(num_returns=n_centroids).remote(ref)
+        if n_centroids == 1:
+            parts = [parts]
+        for c, r in enumerate(parts):
+            per_list[c].append(r)
+    ray.get(
+        [
+            _write_list.remote(
+                os.path.join(index_dir, f"centroid={c}"), *chunks
+            )
+            for c, chunks in enumerate(per_list)
+        ]
+    )
 
     np.save(os.path.join(index_dir, "centroids.npy"), index.centroids)
     with open(os.path.join(index_dir, "_DONE"), "w") as f:
