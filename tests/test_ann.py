@@ -73,3 +73,34 @@ def test_ivf_recall_on_sorted_clustered_input():
         g = set(approx[approx.query_idx == qi].vec_id)
         recalls.append(len(t & g) / len(t))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_layout_empty_lists(ray_session, tmp_path):
+    """n_centroids > n_vectors guarantees empty inverted lists: build
+    must write one file per NON-empty list only, and a search probing
+    an empty list must still return clean top-k from the others."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lopez_ray.stages.ann import ivf_build, ivf_search
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((12, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(12), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    idx_dir = str(tmp_path / "ivf_small")
+    ivf_build(rd.from_arrow(t), idx_dir, n_centroids=32)
+    files = glob.glob(f"{idx_dir}/centroid=*/list.parquet")
+    assert 0 < len(files) <= 12  # only non-empty lists have files
+    hits = ivf_search(idx_dir, vecs[:3], k=2, nprobe=32).to_pandas()
+    # nprobe = all lists → exact: each query's own vector is its top hit
+    top1 = hits.sort_values(["query_idx", "score"], ascending=[True, False])
+    top1 = top1.groupby("query_idx").head(1)
+    assert list(top1["vec_id"]) == [0, 1, 2]
