@@ -6,11 +6,10 @@ Shuffle discipline (ray_guide / SURVEY §4):
 - exact: content-hash inside ``map_batches`` (vectorized SipHash), then ONE
   ``groupby(hash)`` shuffle with per-group first-row retention;
 - MinHash-LSH: signatures per batch (numpy permutation trick), explode to
-  (band, band_hash, doc_id) rows, ONE ``groupby(band, band_hash)`` shuffle
-  produces candidate buckets, pairs verified by exact shingle Jaccard
-  (shingle sets fetched via a broadcast map at test scale — at corpus
-  scale this verify becomes a hash-partitioned self-join on doc_id, same
-  key as the bucket shuffle);
+  (band, band_hash, doc_id) rows, ONE hash-partitioned shuffle produces
+  candidate buckets, pairs verified by exact shingle Jaccard via a fully
+  distributed hash-partitioned join on doc_id (no driver state; see
+  ``minhash_dedup_pairs``);
 - SimHash: 64-bit signature per doc, near-dup blocking by 4×16-bit bands
   (any equal band → candidate) → hamming verify;
 - embedding-cosine: random-hyperplane LSH buckets → within-bucket
