@@ -156,6 +156,12 @@ class FetchStage:
         self.wd_selector = (
             WebDriverSelector(webdriver_patterns) if webdriver_patterns else None
         )
+        # LOPEZ_WEBDRIVER_URL points the session leg at a REAL WebDriver
+        # server (chromedriver/geckodriver) via HttpTransport; unset, the
+        # fixture browser answers the protocol in-process.
+        import os as _os
+
+        self.webdriver_url = _os.environ.get("LOPEZ_WEBDRIVER_URL")
 
     def fetch(self, batch: pa.Table) -> pa.Table:
         """Actor-method alias for direct per-partition calls (waves.py)."""
@@ -282,15 +288,20 @@ class FetchStage:
                     # stream, mod.rs:114-135) — mirrored here.
                     from .webdriver import (
                         FixtureWebDriverTransport,
+                        HttpTransport,
                         WebDriverDownloader,
                     )
 
-                    dl = WebDriverDownloader(
-                        connect=lambda r=row, c=cap: FixtureWebDriverTransport(
+                    if self.webdriver_url:
+                        connect = lambda url=self.webdriver_url: HttpTransport(url)  # noqa: E731
+                    else:
+                        connect = lambda r=row, c=cap: FixtureWebDriverTransport(  # noqa: E731
                             lambda u, r=r, c=c: render_page(
                                 u, r["links"], r["canonical"], c, r["image_id"]
                             )
-                        ),
+                        )
+                    dl = WebDriverDownloader(
+                        connect=connect,
                         user_agent=self.agent,
                         direct_get=lambda _u, sc=code: (sc, None),
                     )

@@ -284,7 +284,11 @@ class WebDriverDownloader:
             return result
         finally:
             try:
+                # best-effort cleanup: a dead transport would raise again
+                # here and mask the ORIGINAL goto/execute failure
                 client.quit()
+            except WebDriverError:
+                pass
             finally:
                 close = getattr(transport, "close", None)
                 if close:

@@ -147,8 +147,14 @@ def _sample_matrix(
     merged = pa.concat_tables(parts)
     h = merged["__h"].to_numpy(zero_copy_only=False).view(np.uint64)
     if len(h) > sample_size:
-        keep = np.sort(np.argpartition(h, sample_size - 1)[:sample_size])
+        keep = np.argpartition(h, sample_size - 1)[:sample_size]
         merged = merged.take(pa.array(keep))
+        h = h[keep]
+    # canonicalize ROW ORDER, not just the row set: parts arrive in
+    # task-completion order, and the k-means init (r.choice on row
+    # index) would otherwise fit different centroids run to run —
+    # the root cause of a once-in-20 ivf-vs-scan test flake under load
+    merged = merged.take(pa.array(np.argsort(h)))
     return vecs_of(merged, vec_col)
 
 
@@ -325,12 +331,24 @@ def ivf_build(
         os.rename(tmp, os.path.join(cdir, "list.parquet"))
         return tbl.num_rows
 
+    # a crashed prior build (no _DONE) may have left stale list files —
+    # remove them or a re-built search would serve rows from the old
+    # corpus for lists that are empty/absent in the new build
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(index_dir, "centroid=*")):
+        _shutil.rmtree(stale, ignore_errors=True)
+
     block_refs = ds.map_batches(assign, batch_format="pyarrow").to_arrow_refs()
     per_list: list[list] = [[] for _ in range(n_centroids)]
     for ref in block_refs:
-        parts = _split.options(num_returns=n_centroids).remote(ref)
         if n_centroids == 1:
-            parts = [parts]
+            # num_returns=1 would hand the writer the whole 1-tuple as a
+            # single object; the block IS centroid 0's chunk
+            per_list[0].append(ref)
+            continue
+        parts = _split.options(num_returns=n_centroids).remote(ref)
         for c, r in enumerate(parts):
             per_list[c].append(r)
     ray.get(

@@ -131,10 +131,18 @@ class MinHasher:
 
     def _bufs(self, m: int):
         if self._vals is None or len(self._vals) < m:
-            # exact-size first, doubling growth after: a small corpus
-            # must not pay the full 32 MB chunk buffer's first-touch
-            # cost (at full batches m hits _CHUNK immediately anyway)
-            size = m if self._vals is None else max(m, 2 * len(self._vals))
+            # exact-size first, doubling growth after, capped at the
+            # chunk size (plus a one-doc overflow): a small corpus must
+            # not pay the full 32 MB chunk buffer's first-touch cost,
+            # and a worker process never retains more than ~68 MB of
+            # buffers per hasher config after the stage (the cache in
+            # _MINHASHERS outlives the stage by design — that residency
+            # is the price of warm buffers across pipelines)
+            size = (
+                m
+                if self._vals is None
+                else max(m, min(2 * len(self._vals), self._CHUNK))
+            )
             self._vals = np.empty((size, self.num_perm), np.uint64)
             self._hi = np.empty_like(self._vals)
             self._mask = np.empty((size, self.num_perm), bool)
@@ -263,7 +271,6 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
     2. pair-dedup across bands via the same partitioned reduce.
     """
     import pandas as pd
-    import ray
 
     from .shuffle import partitioned_reduce
 
@@ -274,10 +281,12 @@ def minhash_candidates(ds, concurrency: int | None = None, **kwargs):
     # actor — without the pool's cold-start latency (1-4 s before the
     # first batch at small scale) or its fixed concurrency cap at
     # corpus scale. Worker processes execute tasks serially, so the
-    # module-level cache is race-free.
+    # module-level cache is race-free. ``concurrency`` (when given)
+    # still bounds the stage's parallel task count.
     banded = ds.map_batches(
         lambda b: _minhasher_for(**kwargs)(b),
         batch_format="pyarrow",
+        concurrency=concurrency,
     )
 
     def bucket_pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:

@@ -91,7 +91,12 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     # signal): a toy input in 2 blocks doesn't need 64 reduce tasks'
     # scheduling latency per barrier (5 chained barriers at sf0.1 paid
     # ~2-3 s of pure task overhead), while a corpus-sized input (tens
-    # to hundreds of blocks) keeps the full fan-out
+    # to hundreds of blocks) keeps the full fan-out. Block count is a
+    # size proxy because Ray Data bounds blocks at target_max_block_size
+    # (~128 MB): 2 blocks ⇒ ≤ ~256 MB ⇒ 4 reduce partitions of ~64 MB.
+    # A caller feeding ONE oversized from_arrow() block would collapse
+    # fan-out — every producer in this repo goes through map_batches /
+    # read_parquet, which re-blocks.
     n_parts = min(n_parts, max(4, 2 * len(block_refs)))
     per_part: list[list] = [[] for _ in range(n_parts)]
     for ref in block_refs:
