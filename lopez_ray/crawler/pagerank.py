@@ -260,7 +260,6 @@ def pagerank_ray(
     edges_ds,
     iterations: int = 8,
     damping: float = 0.85,
-    collect: bool = True,
     n_buckets: int | None = None,
 ):
     """Distributed power iteration over an edges Dataset with columns
@@ -291,9 +290,10 @@ def pagerank_ray(
     actor-to-actor exchange: no sort shuffle, no union, no ragged
     columns, nothing O(nodes) off-actor.
 
-    Returns pa.Table(page_id, rank) sorted by page_id when ``collect``
-    (the parity/query path — the output IS the result), else the list
-    of per-bucket rank tables' object refs for sink-side consumption."""
+    Returns pa.Table(page_id, rank) sorted by page_id. (A refs-only
+    ``collect=False`` variant existed but had no callers and leaked the
+    bucket actors; a sink-side consumer should write per-bucket tables
+    from inside the actors instead.)"""
     import ray
 
     from ..stages.shuffle import partitioned_reduce
@@ -341,7 +341,11 @@ def pagerank_ray(
     if n_buckets is None:
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         n_buckets = max(2, min(16, cpus))
-    B = n_buckets
+    # floor at 2: Ray only tuple-unpacks num_returns > 1, so the B == 1
+    # fan-outs below would hand consumers whole tuples as single
+    # objects (verified crash: apply() unpack error) — and a 1-bucket
+    # "distributed" pagerank is degenerate anyway
+    B = max(2, int(n_buckets))
 
     @ray.remote
     def split_block(tbl: pa.Table, col: str, nb: int):
@@ -377,7 +381,7 @@ def pagerank_ray(
     if n == 0:
         for a in actors:
             ray.kill(a)
-        return empty if collect else []
+        return empty
     ray.get([a.init_state.remote(n) for a in actors])
 
     for _ in range(iterations):
@@ -397,8 +401,6 @@ def pagerank_ray(
         )
 
     rank_refs = [a.ranks.remote() for a in actors]
-    if not collect:
-        return rank_refs
     got = [t for t in ray.get(rank_refs) if t.num_rows]
     for a in actors:
         ray.kill(a)

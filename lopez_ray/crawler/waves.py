@@ -66,8 +66,8 @@ def _analyze_fn(directives_source: str):
     return fn
 
 
-@ray.remote
-def _process_block(tbl: pa.Table, directives_source: str, shard_handles, n_shards: int) -> pa.Table:
+@ray.remote(num_returns=2)
+def _process_block(tbl: pa.Table, directives_source: str, shard_handles, n_shards: int):
     """Raw-task analyze+push for ONE fetched block: parse/select rules,
     then push link deltas + completions to the owning frontier shards
     (the push ray.get inside the task means a completed task implies
@@ -75,10 +75,17 @@ def _process_block(tbl: pa.Table, directives_source: str, shard_handles, n_shard
     pipeline — the streaming executor cost ~0.5-1 s of spin-up PER WAVE
     on the serial path that caps scaling efficiency; a plain task graph
     has none. The compiled AnalyzeStage is cached per worker process
-    (module-global keyed by the directives source)."""
+    (module-global keyed by the directives source).
+
+    Two returns: (analyzed table, row count). The driver barriers on
+    ``ray.get`` of the COUNTS — a plain ``ray.wait`` barrier never
+    raises, so a failed analyze/push task would otherwise be swallowed
+    and the wave would commit on a diverged frontier; getting the tiny
+    int surfaces the error before commit without shipping the table."""
     fn = _analyze_fn(directives_source)
     push = _push_fn(shard_handles, n_shards)
-    return push(fn(tbl))
+    out = push(fn(tbl))
+    return out, out.num_rows
 
 
 @ray.remote
@@ -433,11 +440,14 @@ class CrawlJob:
         cnt = t["count"].to_numpy()
         dep = t["depth"].to_numpy()
         pid = t["page_id"].to_numpy()
-        if len(pid) > budget * 2:
+        if len(pid) > budget * 2 and dep.max() < (1 << 16):
             # two-stage selection: O(n) argpartition on a packed
             # (count, depth) key prunes to ~budget rows (+ boundary
             # ties) before the exact lexsort — the full n_shards×B
-            # lexsort was ~0.3-0.5 s of driver-serial per wave
+            # lexsort was ~0.3-0.5 s of driver-serial per wave.
+            # The 16-bit depth pack is guarded: a depth ≥ 2^16 (absurd
+            # but configurable) falls through to the exact lexsort
+            # instead of silently corrupting the comparator.
             packed = (cnt.astype(np.uint64) << np.uint64(16)) | dep.astype(
                 np.uint64
             )
@@ -456,8 +466,20 @@ class CrawlJob:
         ]
         url_tbl = pa.concat_tables(ray.get(futures))
         upid = url_tbl["page_id"].to_numpy()
+        # loud join validation: a pid the shards did not return (a
+        # routing or restore inconsistency) would otherwise searchsorted
+        # onto a NEIGHBOR's slot and fetch the wrong URL under this
+        # page_id with no error
+        if len(upid) != len(pids):
+            missing = sorted(set(map(int, pids)) - set(map(int, upid)))[:5]
+            raise RuntimeError(
+                f"frontier take/url mismatch: {len(pids)} selected, "
+                f"{len(upid)} returned, missing~{missing}"
+            )
         uorder = np.argsort(upid)
         pos = uorder[np.searchsorted(upid[uorder], pids)]
+        if not np.array_equal(upid[pos], pids):
+            raise RuntimeError("frontier take/url mismatch: pid sets differ")
         return sel.append_column("url", url_tbl["url"].take(pa.array(pos)))
 
     def _run_wave(self, wave: int, batch: pa.Table) -> None:
@@ -530,13 +552,17 @@ class CrawlJob:
         # completed task implies its frontier pushes landed, so waiting
         # on all of them IS the wave's push barrier.
         tp = time.monotonic()
-        out_refs = [
-            _process_block.remote(
+        out_refs, cnt_refs = [], []
+        for r in refs:
+            t_ref, c_ref = _process_block.remote(
                 r, self.directives_source, self.shards, self.n_shards
             )
-            for r in refs
-        ]
-        ray.wait(out_refs, num_returns=len(out_refs))
+            out_refs.append(t_ref)
+            cnt_refs.append(c_ref)
+        # barrier on the COUNTS: surfaces any analyze/push task failure
+        # BEFORE this wave commits (ray.wait never raises), at the cost
+        # of shipping one int per block
+        ray.get(cnt_refs)
         self._phase["dataset"] += time.monotonic() - tp
         # wave-output writes happen OFF the critical path (joined before
         # checkpoints and at crawl end) through the format seam

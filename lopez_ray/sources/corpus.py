@@ -80,25 +80,30 @@ def read_dataset_dirs(paths: list[str], columns: list[str] | None = None):
             if _is_lance_dir(os.path.join(p, d))
         )
 
-    if HAVE_LANCE and paths and (
-        _is_lance_dir(paths[0]) or _lance_subdirs(paths[0])
-    ):
-        leaf = []
-        for p in paths:
-            leaf.extend([p] if _is_lance_dir(p) else _lance_subdirs(p))
-        parts = [rd.read_lance(p, columns=columns) for p in leaf]
-        ds = parts[0]
-        return ds.union(*parts[1:]) if len(parts) > 1 else ds
-    # rd.read_parquet on a list accepts files, not directories: expand
+    # Format is detected PER DIRECTORY, not from paths[0]: a crawl
+    # resumed under a different environment can legitimately leave
+    # mixed-format wave dirs (lance-written waves + parquet-written
+    # waves), and keying on the first dir would silently drop every
+    # wave in the other format from edge harvest / status reads.
     import glob
 
-    files: list[str] = []
+    lance_leaf: list[str] = []
+    parquet_files: list[str] = []
     for p in paths:
-        if os.path.isdir(p):
-            files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        subs = [p] if (HAVE_LANCE and _is_lance_dir(p)) else _lance_subdirs(p)
+        if subs:
+            lance_leaf.extend(subs)
+        elif os.path.isdir(p):
+            # rd.read_parquet on a list accepts files, not dirs: expand
+            parquet_files.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
         else:
-            files.append(p)
-    return rd.read_parquet(files, columns=columns)
+            parquet_files.append(p)
+    parts = [rd.read_lance(s, columns=columns) for s in lance_leaf]
+    if parquet_files:
+        parts.append(rd.read_parquet(parquet_files, columns=columns))
+    if not parts:
+        return rd.from_items([])
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
 def dataset_schema(path: str):

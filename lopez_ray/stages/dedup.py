@@ -47,12 +47,6 @@ def _shingles(text: str, k: int = 3) -> list[bytes]:
     return [" ".join(toks[i : i + k]).encode() for i in range(len(toks) - k + 1)]
 
 
-def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
-    texts = batch[col].to_pylist()
-    hashes = siphash24_batch([t.encode() if t else b"" for t in texts])
-    return batch.append_column(out, pa.array(hashes.view(np.int64), pa.int64()))
-
-
 def add_content_hash128(batch: pa.Table, col: str = "text") -> pa.Table:
     """128-bit MD5 content key as two int64 columns (ch_lo, ch_hi) —
     collision-safe at the 10^10-doc design point where a 64-bit key
@@ -400,6 +394,14 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
 
     def doc_shingle_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.min()) < 0:
+            # the corpus-row marker is a = b = -1: a negative doc id
+            # would be misclassified as a doc row in attach() and
+            # silently corrupt the verify join — fail loudly instead
+            raise ValueError(
+                "minhash_dedup_pairs requires doc ids >= 0 "
+                f"(got {int(ids.min())}); remap signed ids first"
+            )
         all_sh: list[bytes] = []
         offs = [0]
         for t in batch[text_col].to_pylist():

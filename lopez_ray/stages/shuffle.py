@@ -62,8 +62,17 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
 
     @ray.remote
     def split(tbl: pa.Table):
-        if tbl.num_rows == 0 or any(c not in tbl.column_names for c in key_cols):
+        if tbl.num_rows == 0:
             return tuple(None for _ in range(n_parts))
+        missing = [c for c in key_cols if c not in tbl.column_names]
+        if missing:
+            # loud: silently dropping mis-schemaed NON-empty blocks
+            # turns a caller's typo into an empty (not wrong-looking)
+            # result; only schema-less empty blocks are skippable
+            raise KeyError(
+                f"partitioned_reduce: block missing key column(s) {missing}; "
+                f"has {tbl.column_names}"
+            )
         part = (_mix_columns(tbl, key_cols) % np.uint64(n_parts)).astype(np.int64)
         order = np.argsort(part, kind="stable")
         sorted_tbl = tbl.take(pa.array(order))
