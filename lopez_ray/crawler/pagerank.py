@@ -150,8 +150,11 @@ _PHI = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _bucket_of(ids: np.ndarray, n_buckets: int) -> np.ndarray:
-    """Deterministic node→bucket hash (same mixer as stages/shuffle so
-    skewed/sequential id spaces still spread)."""
+    """Deterministic node→bucket hash (same CONSTRUCTION as
+    stages/shuffle's mixer — multiply/xorshift avalanche — so
+    skewed/sequential id spaces still spread; no cross-module bucket
+    ALIGNMENT is assumed anywhere: edges and nodes are both scattered
+    with this function, so only internal consistency matters)."""
     with np.errstate(over="ignore"):
         h = ids.astype(np.int64, copy=False).view(np.uint64) * _PHI
         h ^= h >> np.uint64(33)
