@@ -207,3 +207,36 @@ def test_sig_pairs_recursive_exact_on_hot_bucket():
         got = {(int(i), int(j)): int(d) for i, j, d in zip(ri, rj, rd)}
         assert got == want
         assert len(want) > 0  # the fixture actually exercises pairs
+
+
+def test_shuffle_missing_key_column_is_loud(ray_session):
+    """A NON-empty block missing a key column must raise, not produce
+    an empty result (schema drift was previously silent)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from lopez_ray.stages.shuffle import partitioned_reduce
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="missing key column"):
+        partitioned_reduce(ds, ["nope"], lambda g: g).count()
+
+
+def test_minhash_negative_doc_id_is_loud(ray_session):
+    """Negative doc ids collide with the corpus-row marker (a=b=-1) in
+    the verify join — the precondition must fail loudly."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from lopez_ray.stages.dedup import minhash_dedup_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([-5, 1], pa.int64()),
+            "text": pa.array(["a b c d e", "a b c d e"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="doc ids >= 0"):
+        minhash_dedup_pairs(rd.from_arrow(t), threshold=0.5)
