@@ -4,7 +4,9 @@
 Default mode: `ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`,
 run the headline pipelines over `$GRAFT_SF_DIR` (default
 /root/testdata/sf0.1) plus the flagship crawl over the deterministic
-synthetic web fixture, and print ONE JSON line:
+synthetic web fixture — $GRAFT_BENCH_RUNS full passes (default 3),
+reporting per-query best + all samples (cache-clean: every pass does
+the complete work) — and print ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N,
@@ -93,6 +95,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         _consume(QUERIES[name](sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     return timings
+
+
+def _best_of(samples_per_run: list[dict[str, float]]) -> dict[str, float]:
+    """Per-query best across runs (host noise here is one-sided: neighbors
+    only ever slow a run, so min is the consistent wall-time estimator —
+    same protocol --scaling already uses with max-throughput)."""
+    return {
+        name: min(run[name] for run in samples_per_run)
+        for name in samples_per_run[0]
+    }
 
 
 def run_crawl(
@@ -258,19 +270,45 @@ def main() -> None:
 
         generate(f"/tmp/lopez_ray_fixtures/{CRAWL_TIER}", tier=CRAWL_TIER, seed=42)
         generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
-        t0 = time.perf_counter()
-        timings = run_queries(sf_dir)
-        crawl = run_crawl(num_cpus)
-        total = round(time.perf_counter() - t0, 3)
+        # Best-of-N headline (round-3 verdict #2: the single-sample
+        # protocol produced mutually-incomparable BENCH files on this
+        # noisy host). Every run does the FULL work — q_curate uses a
+        # fresh out_dir per call, the crawl a fresh out_dir per run —
+        # so no sample is ever a cached read of a previous one.
+        runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+        query_runs: list[dict[str, float]] = []
+        crawl_runs: list[dict] = []
+        for i in range(runs):
+            query_runs.append(run_queries(sf_dir))
+            crawl_runs.append(run_crawl(num_cpus))
+            print(
+                f"[bench] run {i + 1}/{runs}: queries "
+                f"{round(sum(query_runs[-1].values()), 1)} s, crawl "
+                f"{crawl_runs[-1]['urls_per_sec']} urls/s",
+                file=sys.stderr,
+                flush=True,
+            )
+        timings = _best_of(query_runs)
+        crawl = max(crawl_runs, key=lambda c: c["urls_per_sec"])
+        total = round(sum(timings.values()) + crawl["sec"], 3)
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(
             json.dumps(
                 {
-                    "metric": "headline pipelines total wall (queries + crawl)",
+                    "metric": (
+                        "headline pipelines total wall (queries + crawl), "
+                        f"per-query best of {runs}"
+                    ),
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "query_samples": {
+                        name: [run[name] for run in query_runs]
+                        for name in timings
+                    },
                     "crawl": crawl,
+                    "crawl_samples": [c["urls_per_sec"] for c in crawl_runs],
+                    "runs": runs,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "num_cpus": num_cpus,
                 }

@@ -353,8 +353,16 @@ def pagerank_ray(
     @ray.remote
     def split_block(tbl: pa.Table, col: str, nb: int):
         # empty partitions surface as schema-less zero-row blocks
-        if tbl.num_rows == 0 or col not in tbl.column_names:
+        if tbl.num_rows == 0:
             return tuple(tbl.slice(0, 0) for _ in range(nb))
+        if col not in tbl.column_names:
+            # loud, mirroring partitioned_reduce: silently dropping a
+            # mis-schemaed NON-empty block would drop its rows from the
+            # rank state and skew every iteration
+            raise KeyError(
+                f"pagerank split_block: block missing key column {col!r}; "
+                f"has {tbl.column_names}"
+            )
         ids = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
         bk = _bucket_of(ids, nb)
         return tuple(tbl.filter(pa.array(bk == b)) for b in range(nb))

@@ -15,10 +15,22 @@ driver — r1's winner-set broadcast + to_pandas() is gone):
                                                  partition key + C-speed
                                                  pandas reduce per part;
                                                  see stages/shuffle.py)
-    → write_parquet(out_dir, partition by lang)  one directory per lang —
-                                                 a rerun skips finished
-                                                 partitions (resumable,
-                                                 never one giant file)
+    → write_parquet(tmp, partition by lang)      one directory per lang,
+      then atomic rename tmp → out_dir           never one giant file.
+                                                 The rename is the ONLY
+                                                 commit point: a run
+                                                 killed mid-write leaves
+                                                 its partial files in a
+                                                 stale tmp dir that the
+                                                 rerun deletes — the
+                                                 target is either absent
+                                                 or complete, so a rerun
+                                                 is duplicate-free and a
+                                                 finished output is
+                                                 skipped wholesale
+                                                 (same pattern as
+                                                 ann.py's _list.tmp →
+                                                 rename)
 
 The dedup trick: rows sharing a content hash share the TEXT, so every
 text-derived column (quality, n_tokens, n_chars, lang) is constant
@@ -140,8 +152,21 @@ def curate(
     if out_dir:
         done_marker = os.path.join(out_dir, "_DONE")
         if not os.path.exists(done_marker):
-            curated.write_parquet(out_dir, partition_cols=["lang_pred"])
-            with open(done_marker, "w") as f:
+            import shutil
+
+            out_dir = out_dir.rstrip("/")
+            # a crashed prior run may have left (a) a stale staging dir
+            # or (b) a legacy out_dir written without the atomic commit;
+            # both are partial and must not pollute this run's output
+            tmp_dir = out_dir + ".__staging__"
+            for stale in (tmp_dir, out_dir):
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            curated.write_parquet(tmp_dir, partition_cols=["lang_pred"])
+            with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
                 f.write("ok")
+            # the atomic commit point: readers see out_dir either absent
+            # or complete-with-marker, never a partial write
+            os.rename(tmp_dir, out_dir)
         return rd.read_parquet(out_dir)
     return curated

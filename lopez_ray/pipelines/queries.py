@@ -1316,12 +1316,22 @@ def q_curate(sf_dir: str):
     oracled: quality + langid are SQL-expressible (same algorithm
     generated from the same constants) and the exact-dedup winner set
     equals `row_number() over (partition by text order by doc_id) = 1`."""
+    import itertools as _it
+
     import pyarrow.compute as _pc
 
     from .curate import curate
 
+    # Fresh out_dir per CALL: a fixed path's _DONE marker turned every
+    # later bench "run" into a parquet re-read of the first run's output
+    # (round-3 verdict #2 — r2 and r3 recorded different work). The
+    # atomic-commit/resume path still runs every time; resume semantics
+    # themselves are covered by tests/test_curate_resume.py.
+    if not hasattr(q_curate, "_seq"):
+        q_curate._seq = _it.count()
     out_dir = os.path.join(
-        "/tmp/lopez_ray_curated", sf_dir.strip("/").replace("/", "_")
+        "/tmp/lopez_ray_curated",
+        f"{sf_dir.strip('/').replace('/', '_')}-{os.getpid()}-{next(q_curate._seq)}",
     )
     ds = curate(sf_dir, out_dir=out_dir)
 

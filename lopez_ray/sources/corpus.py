@@ -125,17 +125,41 @@ def dataset_schema(path: str):
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"dataset_schema: no lance dataset or parquet files under {path}"
+        )
     return pq.read_schema(files[0])
 
 
+def _has_data_files(path: str) -> bool:
+    """True when the directory holds at least one readable data file
+    (lance subdir or parquet). A wave dir can exist empty: the async
+    wave writer creates the directory first and a crash before the
+    atomic rename lands leaves it file-less."""
+    if HAVE_LANCE and (
+        _is_lance_dir(path)
+        or any(
+            _is_lance_dir(os.path.join(path, d)) for d in os.listdir(path)
+        )
+    ):
+        return True
+    return any(f.endswith(".parquet") for f in os.listdir(path))
+
+
 def list_wave_dirs(wave_dir: str) -> list[str]:
-    """Per-wave output directories under a crawl's wave_dir, sorted."""
+    """Per-wave output directories under a crawl's wave_dir, sorted.
+    Empty wave dirs (created but never populated — e.g. a crash between
+    mkdir and the atomic file rename) are skipped so downstream schema
+    reads don't trip on a file-less directory."""
     if not os.path.isdir(wave_dir):
         return []
     return sorted(
         os.path.join(wave_dir, d)
         for d in os.listdir(wave_dir)
-        if d.startswith("wave=") and os.path.isdir(os.path.join(wave_dir, d))
+        if d.startswith("wave=")
+        and os.path.isdir(os.path.join(wave_dir, d))
+        and _has_data_files(os.path.join(wave_dir, d))
     )
 
 

@@ -55,7 +55,7 @@ def brute_force_topk(
     def partial(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         vecs = vecs_of(batch, vec_col)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = _normalize(vecs) @ qm.T  # (n, nq)
         nq = qm.shape[0]
         kk = min(k, len(ids))
@@ -211,8 +211,8 @@ def ivf_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         vecs = _normalize(vecs_of(batch, vec_col))
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        cents = np.asarray(batch["centroid"].to_pylist(), dtype=np.int32)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = batch["centroid"].to_numpy(zero_copy_only=False).astype(np.int32)
         rows = {"query_idx": [], id_col: [], "score": []}
         for qi in range(len(q)):
             mask = np.isin(cents, list(probe_sets[qi]))
@@ -416,6 +416,15 @@ def ivf_search(
         allowed[row, qi] = True
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # argpartition(kth=-1) on an empty axis raises
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         vecs = _normalize(vecs_of(batch, vec_col))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cents = batch["cent"].to_numpy(zero_copy_only=False).astype(np.int32)

@@ -3,8 +3,11 @@ embedding-cosine — the training-data-pipeline workhorses.
 
 Shuffle discipline (ray_guide / SURVEY §4):
 
-- exact: content-hash inside ``map_batches`` (vectorized SipHash), then ONE
-  ``groupby(hash)`` shuffle with per-group first-row retention;
+- exact: 128-bit MD5 content key inside ``map_batches`` (two int64
+  columns ch_lo/ch_hi via ``md5_u128_batch`` — collision-safe at the
+  10^10-doc design point; hashlib is C-bound so the per-row loop is the
+  measured-fastest shape, see the lane-vectorization memo), then ONE
+  hash-partitioned shuffle with per-group first-row retention;
 - MinHash-LSH: signatures per batch (numpy permutation trick), explode to
   (band, band_hash, doc_id) rows, ONE hash-partitioned shuffle produces
   candidate buckets, pairs verified by exact shingle Jaccard via a fully
