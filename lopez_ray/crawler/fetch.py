@@ -97,6 +97,9 @@ class FetchStage:
         corpus_index_ref=None,
         max_body_size: int = 10_000_000,
         webdriver_patterns: list[str] | None = None,
+        directives_source: str | None = None,
+        shard_handles: list | None = None,
+        n_shards: int = 0,
     ):
         # The web and corpus fixtures arrive as ObjectRefs to ARROW TABLES
         # put in plasma ONCE by the driver — every actor on a node then
@@ -162,10 +165,42 @@ class FetchStage:
         import os as _os
 
         self.webdriver_url = _os.environ.get("LOPEZ_WEBDRIVER_URL")
+        # fused fetch→analyze→push wiring (see fetch_analyze): closures
+        # built lazily on first use so the split path pays nothing
+        self.directives_source = directives_source
+        self.shard_handles = list(shard_handles) if shard_handles else None
+        self.n_shards = n_shards
+        self._fused_analyze = None
 
     def fetch(self, batch: pa.Table) -> pa.Table:
         """Actor-method alias for direct per-partition calls (waves.py)."""
         return self(batch)
+
+    def fetch_analyze(self, batch: pa.Table):
+        """FUSED fetch→analyze→push for one chunk, entirely inside this
+        actor: the payload-bearing fetched table (html + image bytes, by
+        far the wave's largest intermediate) never enters the object
+        store — only the analyzed, payload-dropped output does. Halves
+        plasma byte traffic per wave vs the split path (fetch actor
+        return → plasma → _process_block task), which is the dominant
+        shared-memory-bandwidth consumer capping 8→32 scaling on one
+        box. Returns (analyzed table, row count); callers use
+        ``.options(num_returns=2)`` and barrier on the tiny count so
+        task failures surface before the wave commits (waves.py)."""
+        if self._fused_analyze is None:
+            if self.directives_source is None or self.shard_handles is None:
+                raise RuntimeError(
+                    "fetch_analyze requires directives_source + shard_handles "
+                    "at actor construction"
+                )
+            # runtime import: waves.py imports this module at load time
+            from .waves import _analyze_fn, _push_fn
+
+            fn = _analyze_fn(self.directives_source)
+            push = _push_fn(self.shard_handles, self.n_shards)
+            self._fused_analyze = lambda t: push(fn(t))
+        out = self._fused_analyze(self(batch))
+        return out, out.num_rows
 
     def _robots(self, host: str) -> RobotExclusion | None:
         if host not in self.robots_cache:

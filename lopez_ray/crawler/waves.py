@@ -197,6 +197,7 @@ class CrawlJob:
         checkpoint_every: int = 1,
         fetch_chunk_rows: int = 256,
         salt_threshold: int = 512,
+        fuse_analyze: bool | None = None,
     ):
         self.directives_source = directives_source
         self.directives = Directives.from_source(directives_source)
@@ -214,6 +215,14 @@ class CrawlJob:
         self.checkpoint_every = checkpoint_every
         self.fetch_chunk_rows = fetch_chunk_rows
         self.salt_threshold = salt_threshold
+        # Fused fetch→analyze→push (fetch.py:fetch_analyze): the payload
+        # table never transits plasma. A/B-able via LOPEZ_FUSE_ANALYZE=0/1;
+        # the trade is dynamic analyze load-balancing (split path spreads
+        # analyze tasks over ALL cores regardless of fetch partition skew)
+        # vs halved object-store byte traffic (fused).
+        if fuse_analyze is None:
+            fuse_analyze = os.environ.get("LOPEZ_FUSE_ANALYZE", "0") == "1"
+        self.fuse_analyze = fuse_analyze
         self.wave_dir = os.path.join(out_dir, wave_name)
         self.ckpt_dir = os.path.join(self.wave_dir, "checkpoint")
 
@@ -297,6 +306,11 @@ class CrawlJob:
                 corpus_index_ref=corpus_index_ref,
                 max_body_size=self.params.max_body_size,
                 webdriver_patterns=self.directives.webdriver_patterns(),
+                directives_source=(
+                    self.directives_source if self.fuse_analyze else None
+                ),
+                shard_handles=self.shards if self.fuse_analyze else None,
+                n_shards=self.n_shards,
             )
             for _ in range(self.n_fetchers)
         ]
@@ -532,6 +546,31 @@ class CrawlJob:
         # waves cap total call/task count at ~8 chunks per fetcher so
         # scheduler dispatch doesn't become the serial bottleneck.
         chunk = max(self.fetch_chunk_rows, n // (8 * self.n_fetchers) + 1)
+        if self.fuse_analyze:
+            # FUSED path: fetch+analyze+push run inside the fetch actor
+            # per chunk; the payload-bearing intermediate never enters
+            # plasma (fetch.py:fetch_analyze). The count barrier below is
+            # simultaneously the fetch, analyze and push barrier.
+            out_refs, cnt_refs = [], []
+            for g in np.split(order, bounds):
+                p = int(slot[g[0]])
+                sub = tbl.take(pa.array(g))
+                for off in range(0, len(g), chunk):
+                    t_ref, c_ref = self.fetchers[p].fetch_analyze.options(
+                        num_returns=2
+                    ).remote(sub.slice(off, chunk))
+                    out_refs.append(t_ref)
+                    cnt_refs.append(c_ref)
+            self._phase["partition"] += time.monotonic() - tp
+            tp = time.monotonic()
+            ray.get(cnt_refs)
+            self._phase["dataset"] += time.monotonic() - tp
+            out_dir = os.path.join(self.wave_dir, f"wave={wave:05d}")
+            self._pending_writes.extend(
+                _write_wave_block.remote(r, out_dir, i)
+                for i, r in enumerate(out_refs)
+            )
+            return
         refs = []
         for g in np.split(order, bounds):
             p = int(slot[g[0]])

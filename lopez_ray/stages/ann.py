@@ -269,12 +269,16 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 4096,
+    list_shard_rows: int = 100_000,
 ) -> str:
     """Persist the IVF index as a LIST-PARTITIONED parquet layout: one
     ``centroid=K/`` directory per inverted list plus the centroid matrix.
     This is what makes IVF actually prune at scale — a search touches
     only the probed directories' files, the rest never leave storage
     (real FAISS-style IVF layout, expressed as parquet partitioning).
+    Oversized lists are sharded into ≤``list_shard_rows``-row files so
+    writer-task memory is bounded even when n_centroids is dialed far
+    below √corpus (at 128-dim f64, 100k rows ≈ 100 MB per encode).
     Idempotent: skipped when the _DONE marker exists."""
     import os
 
@@ -317,6 +321,14 @@ def ivf_build(
             for c in range(n_centroids)
         )
 
+    # Per-file row cap: an inverted list is written as ⌈rows/target⌉
+    # files, so a writer task's HEAP peak (parquet encode buffer) is
+    # bounded regardless of list size — previously one hot list (or a
+    # small n_centroids dial) put the whole list through a single
+    # write_table call, the last stage whose peak memory was corpus/k in
+    # one task (round-3 verdict #4). Search is unchanged: it globs
+    # *.parquet per probed directory, and more files per hot list just
+    # means more parallel read tasks.
     @ray.remote
     def _write_list(cdir: str, *chunks) -> int:
         import pyarrow.parquet as _pq
@@ -324,12 +336,32 @@ def ivf_build(
         got = [c for c in chunks if c is not None and c.num_rows]
         if not got:
             return 0
-        tbl = pa.concat_tables(got)
         os.makedirs(cdir, exist_ok=True)
-        tmp = os.path.join(cdir, "_list.tmp")
-        _pq.write_table(tbl, tmp)
-        os.rename(tmp, os.path.join(cdir, "list.parquet"))
-        return tbl.num_rows
+
+        total = 0
+        buf: list[pa.Table] = []
+        buf_rows = 0
+        file_idx = 0
+
+        def flush() -> None:
+            nonlocal buf, buf_rows, file_idx
+            if not buf:
+                return
+            tbl = pa.concat_tables(buf)
+            tmp = os.path.join(cdir, f"_list-{file_idx:05d}.tmp")
+            _pq.write_table(tbl, tmp)
+            os.rename(tmp, os.path.join(cdir, f"list-{file_idx:05d}.parquet"))
+            buf, buf_rows = [], 0
+            file_idx += 1
+
+        for c in got:
+            buf.append(c)
+            buf_rows += c.num_rows
+            total += c.num_rows
+            if buf_rows >= list_shard_rows:
+                flush()
+        flush()
+        return total
 
     # a crashed prior build (no _DONE) may have left stale list files —
     # remove them or a re-built search would serve rows from the old

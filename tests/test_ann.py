@@ -97,10 +97,63 @@ def test_ivf_layout_empty_lists(ray_session, tmp_path):
     )
     idx_dir = str(tmp_path / "ivf_small")
     ivf_build(rd.from_arrow(t), idx_dir, n_centroids=32)
-    files = glob.glob(f"{idx_dir}/centroid=*/list.parquet")
+    files = glob.glob(f"{idx_dir}/centroid=*/list-*.parquet")
     assert 0 < len(files) <= 12  # only non-empty lists have files
     hits = ivf_search(idx_dir, vecs[:3], k=2, nprobe=32).to_pandas()
     # nprobe = all lists → exact: each query's own vector is its top hit
     top1 = hits.sort_values(["query_idx", "score"], ascending=[True, False])
     top1 = top1.groupby("query_idx").head(1)
     assert list(top1["vec_id"]) == [0, 1, 2]
+
+
+def test_ivf_list_shard_cap(ray_session, tmp_path):
+    """Verdict r3 #4: an oversized inverted list is sharded into
+    <=list_shard_rows-row files so writer-task heap is bounded even when
+    n_centroids is dialed far below sqrt(corpus); search output must be
+    identical to an uncapped build."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lopez_ray.stages.ann import ivf_build, ivf_search
+
+    rng = np.random.default_rng(7)
+    n = 600
+    vecs = rng.standard_normal((n, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+
+    sharded = str(tmp_path / "ivf_sharded")
+    ivf_build(ds, sharded, n_centroids=2, list_shard_rows=100)
+    files = glob.glob(f"{sharded}/centroid=*/list-*.parquet")
+    # 600 rows / 2 lists, cap 100 -> every list has multiple files
+    per_dir: dict[str, int] = {}
+    for f in files:
+        d = f.rsplit("/", 1)[0]
+        per_dir[d] = per_dir.get(d, 0) + 1
+        # cap is "flush when buf >= cap" over <=100-row input blocks,
+        # so a file holds at most cap + one block of overshoot
+        assert pq.read_metadata(f).num_rows <= 200
+    assert all(cnt >= 2 for cnt in per_dir.values())
+    # no rows lost to sharding
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == n
+
+    whole = str(tmp_path / "ivf_whole")
+    ivf_build(ds, whole, n_centroids=2, list_shard_rows=10**9)
+    q = vecs[:4]
+    a = ivf_search(sharded, q, k=3, nprobe=2).to_pandas()
+    b = ivf_search(whole, q, k=3, nprobe=2).to_pandas()
+    key = ["query_idx", "vec_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert np.allclose(a["score"], b["score"])

@@ -190,3 +190,44 @@ def test_crawl_to_exhaustion_and_pagerank(ray_session, fixture_paths, tmp_path):
     assert len(nodes) > 50
     assert abs(ranks.sum() - 1.0) < 0.05  # stochastic-ish up to lost mass
     assert (ranks > 0).all()
+
+
+def test_fused_fetch_analyze_matches_split(ray_session, fixture_paths, tmp_path):
+    """LOPEZ_FUSE_ANALYZE path (fetch->analyze->push inside the fetch
+    actor, payload never enters plasma) must be output-identical to the
+    split path: same status table, same wave rows, same analyses."""
+    from lopez_ray.crawler.waves import CrawlJob
+
+    outs = {}
+    for name, fuse in (("split", False), ("fused", True)):
+        out_dir = str(tmp_path / name)
+        job = CrawlJob(
+            CONFIG,
+            web_path=fixture_paths["web"],
+            corpus_path=fixture_paths["corpus"],
+            robots_path=fixture_paths["robots"],
+            out_dir=out_dir,
+            n_shards=3,
+            n_fetchers=2,
+            batch_size=50,
+            fuse_analyze=fuse,
+        )
+        summary = job.run()
+        status = pq.read_table(os.path.join(out_dir, "wave", "status.parquet"))
+        waves = read_waves(out_dir)
+        outs[name] = (summary, status, waves)
+
+    s0, st0, w0 = outs["split"]
+    s1, st1, w1 = outs["fused"]
+    timing = {"elapsed_sec", "urls_per_sec", "phase_sec"}
+    assert {k: v for k, v in s0.items() if k not in timing} == {
+        k: v for k, v in s1.items() if k not in timing
+    }
+    key = st0.column_names
+    assert sorted(map(tuple, st0.to_pylist()), key=str) == sorted(
+        map(tuple, st1.to_pylist()), key=str
+    )
+    assert w0.column_names == w1.column_names
+    rows0 = sorted(w0.to_pylist(), key=lambda r: r["seq"])
+    rows1 = sorted(w1.to_pylist(), key=lambda r: r["seq"])
+    assert rows0 == rows1
