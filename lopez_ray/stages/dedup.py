@@ -44,6 +44,18 @@ def _tokens(text: str) -> list[str]:
 
 
 def _shingles(text: str, k: int = 3) -> list[bytes]:
+    # Measured negative result (round 4): an Arrow-native shingle kernel
+    # (utf8_lower → split_pattern_regex → binary_join_element_wise over
+    # the flat token values → take at vectorized k-gram start offsets,
+    # verified byte-identical on the bench corpus) reads 0.47 s /
+    # 10k xl-shape docs vs 0.62 s for this Python loop — but the md5
+    # stage still needs one Python bytes object per shingle (hashlib is
+    # the only md5 in the container), so the Arrow path pays a
+    # to_pylist() that erases the gain: ~6% end-to-end on the signature
+    # stage, against a Unicode-lowercasing parity risk (utf8proc vs
+    # str.lower) on non-ASCII corpora. Python loop retained. The real
+    # 1M-doc win was structural — see minhash_dedup_pairs' broadcast
+    # semi-join (177 s → 37-53 s).
     toks = _tokens(text)
     if len(toks) < k:
         return [" ".join(toks).encode()] if toks else []
@@ -323,7 +335,9 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
+def minhash_dedup_pairs(
+    ds, threshold: float = 0.7, broadcast_max_ids: int = 4_000_000, **kwargs
+):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
     Returns a pa.Table (a, b, jaccard) with jaccard >= threshold.
 
@@ -351,11 +365,20 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
        the driver.
 
     Cost: one linear shuffle of the corpus's exploded shingle hashes +
-    one shuffle of O(candidate-side shingles) rows — no driver state at
-    any point. On a low-dup-rate corpus a broadcast semi-join on the
-    candidate doc-id set would skip shuffling non-candidate docs, at
-    the price of a driver round-trip; this path deliberately avoids
-    that round-trip. The verify deliberately RE-tokenizes and re-hashes
+    one shuffle of O(candidate-side shingles) rows — no driver state on
+    the join itself. On a low-dup-rate corpus almost all of that first
+    shuffle is waste: non-candidate docs' shingle rows transit plasma
+    only to be dropped by the inner merge. So when the candidate doc-id
+    set fits ``broadcast_max_ids`` (default 4M ids = 32 MB — candidates
+    are O(duplicate clusters), tiny on real corpora), it is fetched
+    once to the driver, ``ray.put`` once, and the corpus is FILTERED
+    before exploding: only candidate docs tokenize, hash, and shuffle
+    (measured 177 s → 37-53 s at the 1M-doc tier, output
+    hash-identical; candidates' two shuffles now dominate the wall).
+    Above the gate (10^10 docs at 1% dups → 1.6 GB of ids) the
+    zero-driver-state full shuffle join runs instead — the exact
+    size-gated broadcast-vs-partitioned trade the TPC-H joins use.
+    The verify deliberately RE-tokenizes and re-hashes
     the corpus rather than fusing with the signature pass: fusing
     requires materializing the combined band+shingle-hash rows
     (~O(corpus) in the object store, spilling at scale) plus two
@@ -428,7 +451,55 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, **kwargs):
         )
 
     sides = cands.map_batches(pair_sides, batch_format="pyarrow")
-    docs = ds.map_batches(doc_shingle_rows, batch_format="pyarrow")
+
+    # Size-gated broadcast semi-join (docstring "Cost" paragraph): when
+    # the candidate doc-id set fits the gate, ship it once via ray.put
+    # and filter the corpus BEFORE the tokenize+hash+explode pass, so
+    # only candidate docs' shingle rows ever transit the shuffle. The
+    # survivor pairs after LSH banding are O(duplicate clusters), so on
+    # any low-dup-rate corpus this path runs; above the gate the
+    # zero-driver-state full shuffle join below is used unchanged.
+    import ray
+
+    cand_ids_ref = None
+    if cands.count() * 2 <= broadcast_max_ids:
+        got = [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+        if not got:
+            return empty
+        ct = pa.concat_tables([t.select(["a", "b"]) for t in got])
+        cand_ids = np.unique(
+            np.concatenate(
+                [
+                    ct["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    ct["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+        cand_ids_ref = ray.put(cand_ids)
+
+    def doc_rows_semifiltered(batch: pa.Table) -> pa.Table:
+        # ray.get of a shared ref inside a task is a zero-copy local
+        # object-store read after the first touch per node
+        ids_sorted = ray.get(cand_ids_ref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(bids) and int(bids.min()) < 0:
+            raise ValueError(
+                "minhash_dedup_pairs requires doc ids >= 0 "
+                f"(got {int(bids.min())}); remap signed ids first"
+            )
+        if len(ids_sorted) == 0 or not len(bids):
+            return doc_shingle_rows(batch.slice(0, 0))
+        pos = np.searchsorted(ids_sorted, bids)
+        pos[pos == len(ids_sorted)] = len(ids_sorted) - 1
+        keep = np.flatnonzero(ids_sorted[pos] == bids)
+        if not len(keep):
+            return doc_shingle_rows(batch.slice(0, 0))
+        return doc_shingle_rows(batch.take(pa.array(keep, pa.int64())))
+
+    docs = ds.map_batches(
+        doc_rows_semifiltered if cand_ids_ref is not None else doc_shingle_rows,
+        batch_format="pyarrow",
+    )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         is_doc = df["a"].to_numpy() < 0

@@ -240,3 +240,21 @@ def test_minhash_negative_doc_id_is_loud(ray_session):
     )
     with pytest.raises(Exception, match="doc ids >= 0"):
         minhash_dedup_pairs(rd.from_arrow(t), threshold=0.5)
+
+
+def test_minhash_verify_broadcast_matches_full_shuffle(ray_session):
+    """The size-gated broadcast semi-join in the verify stage (filter
+    the corpus to candidate docs before exploding shingle rows) must be
+    output-identical to the zero-driver-state full shuffle join it
+    short-circuits (broadcast_max_ids=0 forces the fallback)."""
+    import ray.data as rd
+
+    from lopez_ray.stages.dedup import minhash_dedup_pairs
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    fast = minhash_dedup_pairs(rd.from_arrow(t), threshold=0.5)
+    slow = minhash_dedup_pairs(rd.from_arrow(t), threshold=0.5, broadcast_max_ids=0)
+    assert fast.num_rows > 0  # fixture has planted near-dups
+    assert fast.equals(slow)
