@@ -33,6 +33,22 @@ def _rp(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _pq_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FOOTER metadata only — no data read. Used
+    by the broadcast-vs-partitioned join gates."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def _broadcast_max_rows() -> int:
+    """Small-side row gate for broadcast joins; above it, queries fall
+    back to ``partitioned_lookup_join``. 4M rows of (int64 key + short
+    string) ≈ tens of MB per executor — cheap to hold once per node,
+    read at call time so tests can force the fallback."""
+    return int(os.environ.get("LOPEZ_BROADCAST_MAX_ROWS", "4000000"))
+
+
 def _conc(frac: float = 0.5, lo: int = 2, hi: int = 24) -> int:
     """Actor-pool size scaled to the session's CPUs (4-CPU test sessions
     get 2 actors; the 32-CPU bench gets 16) — hardcoding either number
@@ -544,50 +560,83 @@ from lineitem group by l_returnflag, l_linestatus
 
 
 def q_orders_by_segment(sf_dir: str):
-    """Broadcast join: customer (small side) shipped once via ray.put,
-    looked up per batch — no shuffle join."""
+    """Size-gated join: when customer fits ``LOPEZ_BROADCAST_MAX_ROWS``
+    (default 4M rows — same gate family as minhash verify's
+    ``broadcast_max_ids``) it is shipped ONCE via ray.put and looked up
+    per batch (no shuffle). Above the gate, a partitioned hash join
+    runs instead: orders pre-aggregate per custkey inside map_batches
+    (shrinks the probe side to O(customers) before any exchange), then
+    ``partitioned_lookup_join`` co-locates both sides by custkey with
+    the raw-task hash exchange. Both paths are output-identical
+    (tests/test_join_gate.py forces the fallback and compares)."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    # Broadcast the small side as SORTED numpy key array + value array:
-    # per-batch lookup is one vectorized searchsorted (no Python per row),
-    # same pattern as the fetch-stage URL index (crawler/fetch.py).
-    order = np.argsort(cust["c_custkey"].to_numpy())
-    lookup_ref = ray.put(
-        (
-            cust["c_custkey"].to_numpy()[order],
-            pa.array(cust["c_mktsegment"].to_numpy()[order], pa.string()),
-        )
-    )
     ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def attach(b: pa.Table) -> pa.Table:
-        keys, vals = ray.get(lookup_ref)
-        probe = b["o_custkey"].to_numpy()
-        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-        segs = vals.take(pa.array(pos, pa.int64()))
-        hit = pa.array(keys[pos] == probe)
-        t = pa.table(
-            {
-                "c_mktsegment": pc.if_else(hit, segs, pa.nulls(len(probe), pa.string())),
-                # exact integer cents: see q_lineitem_pricing
-                "price": pc.round(pc.multiply(b["o_totalprice"], 100.0)).cast(
-                    pa.int64()
-                ),
-            }
-        )
-        return t.group_by("c_mktsegment").aggregate(
-            [("price", "sum"), ("price", "count")]
+    def cents(col):
+        # exact integer cents: see q_lineitem_pricing
+        return pc.round(pc.multiply(col, 100.0)).cast(pa.int64())
+
+    if _pq_rows(sf_dir, "customer") <= _broadcast_max_rows():
+        cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+        # Broadcast the small side as SORTED numpy key array + value array:
+        # per-batch lookup is one vectorized searchsorted (no Python per
+        # row), same pattern as the fetch-stage URL index (crawler/fetch.py).
+        order = np.argsort(cust["c_custkey"].to_numpy())
+        lookup_ref = ray.put(
+            (
+                cust["c_custkey"].to_numpy()[order],
+                pa.array(cust["c_mktsegment"].to_numpy()[order], pa.string()),
+            )
         )
 
-    agg = (
-        ds.map_batches(attach, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("price_sum", alias_name="total_price"),
-            Sum("price_count", alias_name="n_orders"),
+        def attach(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lookup_ref)
+            probe = b["o_custkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+            segs = vals.take(pa.array(pos, pa.int64()))
+            hit = pa.array(keys[pos] == probe)
+            t = pa.table(
+                {
+                    "c_mktsegment": pc.if_else(
+                        hit, segs, pa.nulls(len(probe), pa.string())
+                    ),
+                    "price": cents(b["o_totalprice"]),
+                }
+            )
+            return t.group_by("c_mktsegment").aggregate(
+                [("price", "sum"), ("price", "count")]
+            )
+
+        joined = ds.map_batches(attach, batch_format="pyarrow")
+    else:
+        from ..stages.shuffle import partitioned_lookup_join
+
+        cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+            lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
         )
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {"o_custkey": b["o_custkey"], "price": cents(b["o_totalprice"])}
+            )
+            return t.group_by("o_custkey").aggregate(
+                [("price", "sum"), ("price", "count")]
+            )
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        joined = partitioned_lookup_join(
+            partials, cust_ds, ["o_custkey"], how="left"
+        ).map_batches(
+            lambda b: b.select(["c_mktsegment", "price_sum", "price_count"]),
+            batch_format="pyarrow",
+        )
+
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("price_sum", alias_name="total_price"),
+        Sum("price_count", alias_name="n_orders"),
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -613,38 +662,78 @@ group by c.c_mktsegment
 
 
 def q_suppliers_per_region(sf_dir: str):
-    """Two chained broadcast lookups (supplier→nation→region)."""
+    """Two chained lookups (supplier→nation→region), size-gated like
+    q_orders_by_segment. region is schema-fixed at 5 rows (TPC-H) and
+    always composes driver-side; the gate watches nation. Below it:
+    broadcast sorted key/value arrays, per-batch searchsorted. Above
+    it: per-batch count partials per nationkey, then a partitioned
+    hash join against (nationkey, r_name)."""
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
-    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    # Pre-compose nation→region-name on the driver (both tiny), broadcast
-    # as sorted key/value arrays; per-batch lookup = one searchsorted.
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    nkeys = nation["n_nationkey"].to_numpy()
-    order = np.argsort(nkeys)
-    names = pa.array(
-        [r2name.get(v) for v in nation["n_regionkey"].to_numpy()[order]], pa.string()
-    )
-    lookup_ref = ray.put((nkeys[order], names))
     ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
-    def attach(b: pa.Table) -> pa.Table:
-        keys, vals = ray.get(lookup_ref)
-        probe = b["s_nationkey"].to_numpy()
-        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
-        hit = pa.array(keys[pos] == probe)
-        got = vals.take(pa.array(pos, pa.int64()))
-        return pa.table(
-            {"r_name": pc.if_else(hit, got, pa.nulls(len(probe), pa.string()))}
+    if _pq_rows(sf_dir, "nation") <= _broadcast_max_rows():
+        nation = _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+        # Pre-compose nation→region-name on the driver (both tiny),
+        # broadcast as sorted key/value arrays; per-batch lookup = one
+        # searchsorted.
+        nkeys = nation["n_nationkey"].to_numpy()
+        order = np.argsort(nkeys)
+        names = pa.array(
+            [r2name.get(v) for v in nation["n_regionkey"].to_numpy()[order]],
+            pa.string(),
+        )
+        lookup_ref = ray.put((nkeys[order], names))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lookup_ref)
+            probe = b["s_nationkey"].to_numpy()
+            pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+            hit = pa.array(keys[pos] == probe)
+            got = vals.take(pa.array(pos, pa.int64()))
+            return pa.table(
+                {"r_name": pc.if_else(hit, got, pa.nulls(len(probe), pa.string()))}
+            )
+
+        return (
+            ds.map_batches(attach, batch_format="pyarrow")
+            .groupby("r_name")
+            .aggregate(Count(alias_name="n_suppliers"))
         )
 
-    return (
-        ds.map_batches(attach, batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_suppliers"))
+    from ..stages.shuffle import partitioned_lookup_join
+
+    def nation_rname(b: pa.Table) -> pa.Table:
+        rname = pa.array(
+            [r2name.get(v) for v in b["n_regionkey"].to_numpy()], pa.string()
+        )
+        return pa.table({"s_nationkey": b["n_nationkey"], "r_name": rname})
+
+    nation_ds = _rp(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).map_batches(
+        nation_rname, batch_format="pyarrow"
     )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"s_nationkey": b["s_nationkey"]}).group_by(
+            "s_nationkey"
+        ).aggregate([("s_nationkey", "count")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    joined = partitioned_lookup_join(partials, nation_ds, ["s_nationkey"], how="left")
+
+    agg = joined.groupby("r_name").aggregate(
+        Sum("s_nationkey_count", alias_name="n_suppliers")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"r_name": b["r_name"], "n_suppliers": b["n_suppliers"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_SUPPLIERS_PER_REGION = """

@@ -45,6 +45,35 @@ def _mix_columns(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     return h
 
 
+def _split_table(tbl: pa.Table, key_cols: list[str], n_parts: int):
+    """Hash-partition one Arrow block on ``key_cols`` into ``n_parts``
+    slices (None for empty slices). Shared by ``partitioned_reduce`` and
+    ``partitioned_lookup_join`` so both sides of a join land on the same
+    partition for the same key. Key columns must be integer-typed and
+    non-null (the mixer views them as int64)."""
+    if tbl.num_rows == 0:
+        return tuple(None for _ in range(n_parts))
+    missing = [c for c in key_cols if c not in tbl.column_names]
+    if missing:
+        # loud: silently dropping mis-schemaed NON-empty blocks
+        # turns a caller's typo into an empty (not wrong-looking)
+        # result; only schema-less empty blocks are skippable
+        raise KeyError(
+            f"hash exchange: block missing key column(s) {missing}; "
+            f"has {tbl.column_names}"
+        )
+    part = (_mix_columns(tbl, key_cols) % np.uint64(n_parts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
+    return tuple(
+        sorted_tbl.slice(bounds[b], bounds[b + 1] - bounds[b])
+        if bounds[b + 1] > bounds[b]
+        else None
+        for b in range(n_parts)
+    )
+
+
 def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     """groupby(key_cols) → ``reduce_fn`` for key spaces with O(rows)
     distinct keys. ``reduce_fn`` receives one partition's rows as a
@@ -62,27 +91,7 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
 
     @ray.remote
     def split(tbl: pa.Table):
-        if tbl.num_rows == 0:
-            return tuple(None for _ in range(n_parts))
-        missing = [c for c in key_cols if c not in tbl.column_names]
-        if missing:
-            # loud: silently dropping mis-schemaed NON-empty blocks
-            # turns a caller's typo into an empty (not wrong-looking)
-            # result; only schema-less empty blocks are skippable
-            raise KeyError(
-                f"partitioned_reduce: block missing key column(s) {missing}; "
-                f"has {tbl.column_names}"
-            )
-        part = (_mix_columns(tbl, key_cols) % np.uint64(n_parts)).astype(np.int64)
-        order = np.argsort(part, kind="stable")
-        sorted_tbl = tbl.take(pa.array(order))
-        bounds = np.searchsorted(part[order], np.arange(n_parts + 1))
-        return tuple(
-            sorted_tbl.slice(bounds[b], bounds[b + 1] - bounds[b])
-            if bounds[b + 1] > bounds[b]
-            else None
-            for b in range(n_parts)
-        )
+        return _split_table(tbl, key_cols, n_parts)
 
     @ray.remote(num_returns=2)
     def reduce_part(*chunks):
@@ -146,3 +155,98 @@ def _partitioned_reduce_sort(ds, key_cols, reduce_fn, n_parts: int = 64):
         .groupby("__part")
         .map_groups(run, batch_format="pandas")
     )
+
+
+def partitioned_lookup_join(
+    left_ds,
+    right_ds,
+    key_cols: list[str],
+    how: str = "left",
+    n_parts: int = 64,
+):
+    """Partitioned equi-join for when the lookup side is too big to
+    broadcast (the fallback leg of the size-gated broadcast joins,
+    VERDICT r3 #7). Both sides are hash-exchanged on ``key_cols`` with
+    the same raw-task exchange (and the same key mixer — so a key lands
+    on the same partition from either side) as ``partitioned_reduce``,
+    then every partition is joined with ONE vectorized pandas merge.
+    No driver materialization: sub-tables flow task-to-task through the
+    object store; only per-partition row counts touch the driver.
+
+    ``key_cols`` must exist under the SAME names in both sides (rename
+    before calling) and be integer-typed and non-null. ``how`` is
+    "left" (unmatched left rows keep null right columns — matching the
+    broadcast paths' null-on-miss semantics) or "inner". Right-side keys
+    are assumed unique (a lookup table); duplicate right keys would
+    multiply rows, exactly like a SQL join."""
+    import ray
+    import ray.data as rd
+
+    # The right schema is needed to null-fill left-join partitions that
+    # got no right chunks. Dataset.schema() on a read->map pipeline
+    # resolves from parquet metadata / one block, not a full execution.
+    rschema = right_ds.schema()
+    right_arrow_schema = pa.schema(
+        [(n, t) for n, t in zip(rschema.names, rschema.types)]
+    )
+
+    @ray.remote
+    def split(tbl: pa.Table):
+        return _split_table(tbl, key_cols, n_parts)
+
+    @ray.remote(num_returns=2)
+    def join_part(n_left: int, *chunks):
+        lt = [t for t in chunks[:n_left] if t is not None and t.num_rows]
+        rt = [t for t in chunks[n_left:] if t is not None and t.num_rows]
+        if not lt:
+            return None, 0
+        if not rt:
+            if how == "inner":
+                return None, 0
+            rt = [right_arrow_schema.empty_table()]
+        left = pa.concat_tables(lt, promote_options="default").to_pandas()
+        right = pa.concat_tables(rt, promote_options="default").to_pandas()
+        out = left.merge(right, how=how, on=key_cols)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        # pandas upcasts int columns to float when a left join introduces
+        # NaN; keep key/value columns at their Arrow source types where
+        # the data allows (null-free columns cast back losslessly).
+        fields = {f.name: f.type for f in right_arrow_schema}
+        cols = {}
+        for name in tbl.column_names:
+            col = tbl[name]
+            want = fields.get(name)
+            if want is not None and col.type != want and col.null_count == 0:
+                col = col.cast(want)
+            cols[name] = col
+        tbl = pa.table(cols)
+        return tbl, tbl.num_rows
+
+    left_refs = left_ds.to_arrow_refs()
+    right_refs = right_ds.to_arrow_refs()
+    if not left_refs:
+        return rd.from_items([])
+    n_parts = min(n_parts, max(4, 2 * max(len(left_refs), len(right_refs))))
+    per_part: list[list] = [[] for _ in range(n_parts)]
+    sides = [left_refs, right_refs]
+    split_counts = [0, 0]
+    for side, refs_in in enumerate(sides):
+        for ref in refs_in:
+            refs = split.options(num_returns=n_parts).remote(ref)
+            if n_parts == 1:
+                refs = [refs]
+            for b, r in enumerate(refs):
+                per_part[b].append(r)
+        split_counts[side] = len(refs_in)
+    # per_part[b] holds left chunks first (len(left_refs) of them), then
+    # right chunks — join_part slices by that count.
+    tbl_refs, cnt_refs = [], []
+    for chunks in per_part:
+        t_ref, c_ref = join_part.remote(split_counts[0], *chunks)
+        tbl_refs.append(t_ref)
+        cnt_refs.append(c_ref)
+    counts = ray.get(cnt_refs)
+    keep = [r for r, c in zip(tbl_refs, counts) if c]
+    if not keep:
+        return rd.from_items([])
+    return rd.from_arrow_refs(keep)
