@@ -74,6 +74,39 @@ def _split_table(tbl: pa.Table, key_cols: list[str], n_parts: int):
     )
 
 
+def _streamed_split(ds, split_task, n_slots: int):
+    """Launch one split task per input block, consuming blocks AS THEY
+    LAND via ``iter_internal_ref_bundles()`` (default) so the split wave
+    overlaps the producing map_batches stage instead of waiting behind a
+    ``to_arrow_refs()`` full-materialization barrier
+    (``LOPEZ_SHUFFLE_STREAM=0`` restores the materialized intake for
+    A/B). Holding the block refs in ``per_slot`` keeps them alive until
+    the downstream wave consumes them; peak object-store footprint is
+    unchanged (an all-to-all holds every block either way), but the
+    wall-clock no longer serializes produce → split. Returns
+    ``(per_slot, n_blocks)``."""
+    import os
+
+    per_slot: list[list] = [[] for _ in range(n_slots)]
+    n_blocks = 0
+    if os.environ.get("LOPEZ_SHUFFLE_STREAM", "1") != "0":
+        block_iter = (
+            ref
+            for bundle in ds.iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        )
+    else:
+        block_iter = iter(ds.to_arrow_refs())
+    for ref in block_iter:
+        n_blocks += 1
+        refs = split_task.options(num_returns=n_slots).remote(ref)
+        if n_slots == 1:
+            refs = [refs]
+        for b, r in enumerate(refs):
+            per_slot[b].append(r)
+    return per_slot, n_blocks
+
+
 def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     """groupby(key_cols) → ``reduce_fn`` for key spaces with O(rows)
     distinct keys. ``reduce_fn`` receives one partition's rows as a
@@ -89,9 +122,15 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     if os.environ.get("LOPEZ_SHUFFLE") == "sort":
         return _partitioned_reduce_sort(ds, key_cols, reduce_fn, n_parts)
 
+    n_slots = n_parts  # split fan-out is FIXED so splits can launch
+    # while the producer is still streaming; the reduce fan-out is
+    # decided after the stream ends (slots group into reduce tasks)
+
     @ray.remote
-    def split(tbl: pa.Table):
-        return _split_table(tbl, key_cols, n_parts)
+    def split(tbl):
+        if not isinstance(tbl, pa.Table):  # pandas block from upstream
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        return _split_table(tbl, key_cols, n_slots)
 
     @ray.remote(num_returns=2)
     def reduce_part(*chunks):
@@ -102,10 +141,10 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
         out = pa.Table.from_pandas(reduce_fn(df), preserve_index=False)
         return out, out.num_rows
 
-    block_refs = ds.to_arrow_refs()
-    if not block_refs:
+    per_slot, n_blocks = _streamed_split(ds, split, n_slots)
+    if not n_blocks:
         return rd.from_items([])
-    # scale the partition fan-out with the INPUT's block count (a free
+    # scale the REDUCE fan-out with the input's block count (a free
     # signal): a toy input in 2 blocks doesn't need 64 reduce tasks'
     # scheduling latency per barrier (5 chained barriers at sf0.1 paid
     # ~2-3 s of pure task overhead), while a corpus-sized input (tens
@@ -114,17 +153,14 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     # (~128 MB): 2 blocks ⇒ ≤ ~256 MB ⇒ 4 reduce partitions of ~64 MB.
     # A caller feeding ONE oversized from_arrow() block would collapse
     # fan-out — every producer in this repo goes through map_batches /
-    # read_parquet, which re-blocks.
-    n_parts = min(n_parts, max(4, 2 * len(block_refs)))
-    per_part: list[list] = [[] for _ in range(n_parts)]
-    for ref in block_refs:
-        refs = split.options(num_returns=n_parts).remote(ref)
-        if n_parts == 1:
-            refs = [refs]
-        for b, r in enumerate(refs):
-            per_part[b].append(r)
+    # read_parquet, which re-blocks. Whole slots map to one reduce task
+    # (contiguous ranges), so key co-location is preserved.
+    n_reduce = min(n_slots, max(4, 2 * n_blocks))
     tbl_refs, cnt_refs = [], []
-    for chunks in per_part:
+    for j in range(n_reduce):
+        lo = j * n_slots // n_reduce
+        hi = (j + 1) * n_slots // n_reduce
+        chunks = [r for s in range(lo, hi) for r in per_slot[s]]
         t_ref, c_ref = reduce_part.remote(*chunks)
         tbl_refs.append(t_ref)
         cnt_refs.append(c_ref)
@@ -190,9 +226,13 @@ def partitioned_lookup_join(
         [(n, t) for n, t in zip(rschema.names, rschema.types)]
     )
 
+    n_slots = n_parts  # fixed split fan-out; join fan-out adapts below
+
     @ray.remote
-    def split(tbl: pa.Table):
-        return _split_table(tbl, key_cols, n_parts)
+    def split(tbl):
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        return _split_table(tbl, key_cols, n_slots)
 
     @ray.remote(num_returns=2)
     def join_part(n_left: int, *chunks):
@@ -222,27 +262,20 @@ def partitioned_lookup_join(
         tbl = pa.table(cols)
         return tbl, tbl.num_rows
 
-    left_refs = left_ds.to_arrow_refs()
-    right_refs = right_ds.to_arrow_refs()
-    if not left_refs:
+    left_slots, n_left_blocks = _streamed_split(left_ds, split, n_slots)
+    right_slots, n_right_blocks = _streamed_split(right_ds, split, n_slots)
+    if not n_left_blocks:
         return rd.from_items([])
-    n_parts = min(n_parts, max(4, 2 * max(len(left_refs), len(right_refs))))
-    per_part: list[list] = [[] for _ in range(n_parts)]
-    sides = [left_refs, right_refs]
-    split_counts = [0, 0]
-    for side, refs_in in enumerate(sides):
-        for ref in refs_in:
-            refs = split.options(num_returns=n_parts).remote(ref)
-            if n_parts == 1:
-                refs = [refs]
-            for b, r in enumerate(refs):
-                per_part[b].append(r)
-        split_counts[side] = len(refs_in)
-    # per_part[b] holds left chunks first (len(left_refs) of them), then
-    # right chunks — join_part slices by that count.
+    # adaptive JOIN fan-out, same rationale as partitioned_reduce; whole
+    # slots map to one join task so key co-location is preserved
+    n_join = min(n_slots, max(4, 2 * max(n_left_blocks, n_right_blocks)))
     tbl_refs, cnt_refs = [], []
-    for chunks in per_part:
-        t_ref, c_ref = join_part.remote(split_counts[0], *chunks)
+    for j in range(n_join):
+        lo = j * n_slots // n_join
+        hi = (j + 1) * n_slots // n_join
+        lchunks = [r for s in range(lo, hi) for r in left_slots[s]]
+        rchunks = [r for s in range(lo, hi) for r in right_slots[s]]
+        t_ref, c_ref = join_part.remote(len(lchunks), *lchunks, *rchunks)
         tbl_refs.append(t_ref)
         cnt_refs.append(c_ref)
     counts = ray.get(cnt_refs)
