@@ -368,8 +368,14 @@ def pagerank_ray(
         return tuple(tbl.filter(pa.array(bk == b)) for b in range(nb))
 
     def scatter(ds, col):
+        # streaming intake (same as stages/shuffle.py): split tasks
+        # launch per block as the producer emits it, overlapping the
+        # upstream harvest stage instead of materializing it first
         per_bucket: list[list] = [[] for _ in range(B)]
-        for block_ref in ds.to_arrow_refs():
+        block_iter = (
+            r for bundle in ds.iter_internal_ref_bundles() for r in bundle.block_refs
+        )
+        for block_ref in block_iter:
             refs = split_block.options(num_returns=B).remote(block_ref, col, B)
             if B == 1:
                 refs = [refs]

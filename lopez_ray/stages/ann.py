@@ -372,7 +372,12 @@ def ivf_build(
     for stale in _glob.glob(os.path.join(index_dir, "centroid=*")):
         _shutil.rmtree(stale, ignore_errors=True)
 
-    block_refs = ds.map_batches(assign, batch_format="pyarrow").to_arrow_refs()
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    # streaming intake (stages/shuffle.py pattern): splits launch as the
+    # assign stage emits blocks instead of materializing it first
+    block_refs = (
+        r for bundle in assigned.iter_internal_ref_bundles() for r in bundle.block_refs
+    )
     per_list: list[list] = [[] for _ in range(n_centroids)]
     for ref in block_refs:
         if n_centroids == 1:

@@ -22,6 +22,14 @@ shuffle at 32 CPUs; four chained shuffles made a 60 ms verify take
 25 s). Same key co-location guarantee, same contract, two task waves.
 
 ``n_parts`` scales with the cluster instead of with the data.
+
+Intake is STREAMING (round-4): split tasks launch per block as the
+producer emits it (``iter_internal_ref_bundles``), so the exchange
+overlaps the producing map stage instead of waiting for it to finish —
+measured -35% wall on the 300k-doc dedup tier, outputs identical.
+``partitioned_lookup_join`` reuses the same exchange (same key mixer ⇒
+same partition from either side) for the size-gated broadcast joins'
+fallback leg.
 """
 
 from __future__ import annotations
