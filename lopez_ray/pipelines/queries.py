@@ -1094,6 +1094,113 @@ select a, b, jaccard from jac where jaccard >= {threshold}
 """
 
 
+def q_dedup_groups(sf_dir: str):
+    """Every document labeled with its near-dup CLUSTER id: connected
+    components (component-min label) over the exact word-3-gram
+    Jaccard >= 0.5 pair graph; docs in no pair map to themselves.
+
+    The pairs->clusters closure is the step none of the pair queries
+    perform: (a,b) + (b,c) must collapse to one keeper even though
+    (a,c) was never emitted. Distributed as a BSP label-propagation
+    loop with pointer jumping (stages/cc.py); the singleton fill is a
+    partitioned left join, not a broadcast (dup nodes are O(dup rate x
+    corpus) at scale)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..stages.cc import connected_components
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.shuffle import partitioned_lookup_join
+
+    pairs = ngram_jaccard_pairs(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+    labels = connected_components(pairs).map_batches(
+        lambda b: b.rename_columns(["doc_id", "group_id"]),
+        batch_format="pyarrow",
+    )
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    joined = partitioned_lookup_join(docs, labels, ["doc_id"], how="left")
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        gid = pc.coalesce(
+            b["group_id"].cast(pa.int64()), b["doc_id"].cast(pa.int64())
+        )
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()), "group_id": gid})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def q_dedup_keep(sf_dir: str):
+    """The keeper set after near-dup clustering: one row per cluster
+    (keeper doc_id = component min) with the cluster's size — i.e. the
+    documents a dedup pass RETAINS, with how many each one absorbed."""
+    from ..stages.shuffle import partitioned_reduce
+
+    groups = q_dedup_groups(sf_dir)
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            b.select(["group_id"])
+            .to_pandas()
+            .groupby("group_id", as_index=False)
+            .agg(group_size=("group_id", "size")),
+            preserve_index=False,
+        )
+
+    sizes = partitioned_reduce(
+        groups.map_batches(combine, batch_format="pyarrow"),
+        ["group_id"],
+        lambda g: g.groupby("group_id", as_index=False).agg(
+            group_size=("group_size", "sum")
+        ),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["group_id"].cast(pa.int64()),
+                "group_size": b["group_size"].cast(pa.int64()),
+            }
+        )
+
+    return sizes.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_dedup_groups_cte(threshold: float = 0.5) -> str:
+    """Shared CTE chain: pairs (the already-oracled exact-Jaccard
+    query, nested verbatim) -> undirected edges -> transitive closure
+    (recursive CTE; fine at oracle scale, sum-of-component-size^2
+    rows) -> component-min labels -> all docs with singleton fill."""
+    return f"""
+with recursive pairs as ({_sql_jaccard_pairs(threshold)}),
+edges as (
+  select a as u, b as v from pairs
+  union all
+  select b as u, a as v from pairs
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+comp as (select u as doc_id, least(u, min(v)) as group_id from reach group by u),
+groups as (
+  select d.doc_id, coalesce(c.group_id, d.doc_id) as group_id
+  from documents d left join comp c using (doc_id)
+)
+"""
+
+
+SQL_DEDUP_GROUPS = _sql_dedup_groups_cte() + "select doc_id, group_id from groups"
+
+SQL_DEDUP_KEEP = (
+    _sql_dedup_groups_cte()
+    + "select group_id as doc_id, count(*) as group_size from groups group by group_id"
+)
+
+
 def q_simhash(sf_dir: str):
     from ..stages.dedup import simhash_batch
 
@@ -1575,6 +1682,8 @@ QUERIES = {
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
     "pagerank_distributed": q_pagerank_distributed,
+    "dedup_groups": q_dedup_groups,
+    "dedup_keep": q_dedup_keep,
 }
 
 ORACLES = {
@@ -1603,6 +1712,8 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_pair_truth": SQL_EMBEDDING_PAIR_TRUTH,
+    "dedup_groups": SQL_DEDUP_GROUPS,
+    "dedup_keep": SQL_DEDUP_KEEP,
 }
 
 
