@@ -170,3 +170,97 @@ def curate(
             os.rename(tmp_dir, out_dir)
         return rd.read_parquet(out_dir)
     return curated
+
+
+def curate_neardup(
+    sf_dir: str,
+    min_quality: float = 0.35,
+    langs: tuple[str, ...] = ("en", "fr", "es", "de"),
+    threshold: float = 0.5,
+):
+    """NEAR-dup-aware curation: quality + language filter, then keep ONE
+    document per near-duplicate CLUSTER (MinHash-LSH candidates →
+    exact-Jaccard ≥ threshold verify → connected components → keeper =
+    component-min doc_id). Exact duplicates are Jaccard 1.0, so this
+    subsumes ``curate``'s content-hash dedup while also collapsing
+    boilerplate-edited copies — the composition an LLM-corpus pass
+    actually runs.
+
+    Shape: filter first (clustering only ever sees survivors), minhash
+    over (doc_id, text), CC over the pair list (stages/cc.py — labels
+    exist only for docs in ≥1 pair), then a partitioned LEFT join of
+    the survivor metadata against the labels; null label = singleton =
+    keeper. The survivor lineage is consumed by BOTH the pair side and
+    the metadata side — Ray re-executes it rather than materializing an
+    O(corpus) table (at real scale you would checkpoint the filtered
+    corpus to parquet between the two, exactly like ``curate(out_dir=)``
+    does for its output).
+
+    Returns a Dataset of (doc_id, lang_pred, quality, n_tokens)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.cc import connected_components
+    from ..stages.dedup import minhash_dedup_pairs
+    from ..stages.shuffle import partitioned_lookup_join
+    from ..stages.text import LangId, quality_score, text_stats
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    conc = max(2, min(24, cpus // 2))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        out = quality_score(text_stats(b))
+        return out.append_column("text", b["text"])
+
+    scored = ds.map_batches(score, batch_format="pyarrow").map_batches(
+        LangId, batch_format="pyarrow", concurrency=conc, num_cpus=0.5
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b["quality"], min_quality),
+            pc.is_in(b["lang_pred"], value_set=pa.array(langs)),
+        )
+        b = b.filter(mask)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "text": b["text"],
+                "lang_pred": b["lang_pred"],
+                "quality": b["quality"],
+                "n_tokens": b["n_tokens"].cast(pa.int64()),
+            }
+        )
+
+    kept = scored.map_batches(keep, batch_format="pyarrow")
+
+    pairs = minhash_dedup_pairs(
+        kept.select_columns(["doc_id", "text"]), threshold=threshold
+    )
+    labels = connected_components(pairs).map_batches(
+        lambda b: b.rename_columns(["doc_id", "group_id"]),
+        batch_format="pyarrow",
+    )
+    meta = kept.select_columns(["doc_id", "lang_pred", "quality", "n_tokens"])
+    joined = partitioned_lookup_join(meta, labels, ["doc_id"], how="left")
+
+    def keepers(b: pa.Table) -> pa.Table:
+        gid = b["group_id"]
+        mask = pc.or_kleene(
+            pc.is_null(gid), pc.equal(gid.cast(pa.int64()), b["doc_id"])
+        )
+        b = b.filter(mask.fill_null(True))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang_pred": b["lang_pred"],
+                "quality": b["quality"],
+                "n_tokens": b["n_tokens"],
+            }
+        )
+
+    return joined.map_batches(keepers, batch_format="pyarrow")

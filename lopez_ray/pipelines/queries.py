@@ -1000,12 +1000,14 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
-def _sql_minhash_pairs(threshold: float = 0.5) -> str:
+def _sql_minhash_pairs(threshold: float = 0.5, source: str = "documents") -> str:
     """The FULL minhash pipeline in SQL — same md5-derived shingle hash,
     same (a*x+b) uint64-WRAPPING permutation constants (generated from
     the same seeded rng as stages/dedup.MinHasher), same 16×4 banding
     rule, same exact-Jaccard verify — so the oracle reproduces both the
-    LSH recall behavior and the verification filter."""
+    LSH recall behavior and the verification filter. ``source`` names
+    the (doc_id, text) relation to pair over — the ``documents`` view by
+    default, or an upstream CTE when composed (curate_neardup)."""
     from ..stages.dedup import MinHasher
 
     mh = MinHasher()  # default num_perm=64, bands=16, k=3, seed=7
@@ -1019,7 +1021,7 @@ def _sql_minhash_pairs(threshold: float = 0.5) -> str:
     return f"""
 with toks as (
   select doc_id, [x for x in string_split_regex(lower(text), '\\s+') if x <> ''] as t
-  from documents
+  from {source}
 ),
 sh as (
   select doc_id,
@@ -1546,6 +1548,71 @@ def q_curate(sf_dir: str):
     return ds.map_batches(canon, batch_format="pyarrow")
 
 
+def q_curate_neardup(sf_dir: str):
+    """Near-dup-aware curation (pipelines/curate.py::curate_neardup):
+    quality + language filter, MinHash-LSH → exact-Jaccard ≥ 0.5 pair
+    graph over the survivors, connected components, keep component-min.
+    DuckDB-oracled end to end: the filter SQL is `_sql_curate`'s, the
+    pair SQL is the md5-reproducible `_sql_minhash_pairs` re-sourced to
+    the filtered CTE, and the closure is the same recursive CTE as
+    `dedup_groups`."""
+    import pyarrow.compute as _pc
+
+    from .curate import curate_neardup
+
+    ds = curate_neardup(sf_dir)
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang_pred": b["lang_pred"].cast(pa.string()),
+                "quality": _pc.round(
+                    b["quality"], ndigits=6, round_mode="half_towards_infinity"
+                ),
+                "n_tokens": b["n_tokens"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def _sql_curate_neardup(threshold: float = 0.5) -> str:
+    from ..stages.text import langid_sql_expr
+
+    inner, case = langid_sql_expr("text")
+    quality = _sql_quality(select_cols="doc_id, text, n_tokens", digits=None)
+    pairs = _sql_minhash_pairs(threshold, source="kept")
+    return f"""
+with recursive q as ({quality}),
+langed as (
+  select q.doc_id, q.text, q.n_tokens, q.quality, {case} as lang_pred
+  from (select doc_id, {inner} from documents) l
+  join q on q.doc_id = l.doc_id
+),
+kept as (
+  select doc_id, text, n_tokens, quality, lang_pred from langed
+  where quality >= 0.35 and lang_pred in ('en', 'fr', 'es', 'de')
+),
+pairs as ({pairs}),
+edges as (
+  select a as u, b as v from pairs
+  union all
+  select b as u, a as v from pairs
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+comp as (select u as doc_id, least(u, min(v)) as group_id from reach group by u)
+select k.doc_id, k.lang_pred, round(k.quality, 6) as quality,
+       cast(k.n_tokens as bigint) as n_tokens
+from kept k left join comp c using (doc_id)
+where c.group_id is null or c.group_id = k.doc_id
+"""
+
+
 def _sql_curate() -> str:
     from ..stages.text import langid_sql_expr
 
@@ -1684,6 +1751,7 @@ QUERIES = {
     "pagerank_distributed": q_pagerank_distributed,
     "dedup_groups": q_dedup_groups,
     "dedup_keep": q_dedup_keep,
+    "curate_neardup": q_curate_neardup,
 }
 
 ORACLES = {
@@ -1714,6 +1782,7 @@ ORACLES = {
     "embedding_pair_truth": SQL_EMBEDDING_PAIR_TRUTH,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "dedup_keep": SQL_DEDUP_KEEP,
+    "curate_neardup": _sql_curate_neardup(),
 }
 
 

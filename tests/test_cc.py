@@ -103,3 +103,32 @@ def test_dedup_groups_query_matches_duckdb(ray_session, tmp_path):
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
         assert got.equals(want), name
+
+
+def test_curate_neardup_matches_duckdb(ray_session):
+    """Flagship near-dup curation vs its end-to-end SQL oracle (filter
+    CTE + md5-reproduced minhash pair SQL + recursive closure)."""
+    import duckdb
+
+    from lopez_ray.pipelines.queries import ORACLES, QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = (
+        QUERIES["curate_neardup"](sf_dir)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = (
+        con.execute(ORACLES["curate_neardup"])
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
+    assert len(got) > 0
+    assert got.equals(want)

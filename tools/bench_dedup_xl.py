@@ -157,8 +157,16 @@ def main() -> None:
     stages["dedup_exact"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    rows["minhash_pairs"] = minhash_dedup_pairs(read(), threshold=0.5).num_rows
+    mh_pairs = minhash_dedup_pairs(read(), threshold=0.5)
+    rows["minhash_pairs"] = mh_pairs.num_rows
     stages["minhash_pairs"] = round(time.perf_counter() - t0, 2)
+
+    from lopez_ray.stages.cc import connected_components
+
+    t0 = time.perf_counter()
+    cc = connected_components(mh_pairs)
+    rows["cc_groups"] = cc.count()
+    stages["cc_groups"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     rows["simhash_pairs"] = simhash_near_dups(read(), max_hamming=3).count()
