@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "embedding_norms",
     "quality",
     "curate",
+    "curate_neardup",
 ]
 
 CRAWL_TIER = os.environ.get("GRAFT_BENCH_TIER", "bench")  # 50k pages / 50 hosts

@@ -172,11 +172,15 @@ def main() -> None:
     rows["simhash_pairs"] = simhash_near_dups(read(), max_hamming=3).count()
     stages["simhash_pairs"] = round(time.perf_counter() - t0, 2)
 
-    from lopez_ray.pipelines.curate import curate
+    from lopez_ray.pipelines.curate import curate, curate_neardup
 
     t0 = time.perf_counter()
     rows["curate"] = curate(out_dir, out_dir=None).count()
     stages["curate"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rows["curate_neardup"] = curate_neardup(out_dir).count()
+    stages["curate_neardup"] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(stages.values()) - stages["gen"], 2)
     print(
