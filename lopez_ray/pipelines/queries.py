@@ -1669,6 +1669,27 @@ def q_multimodal_decode(sf_dir: str):
 _AV_FIXTURE_DIR = "/tmp/lopez_ray_fixtures/av1"
 
 
+def q_image_dedup(sf_dir: str):
+    """Near-duplicate IMAGE pairs by perceptual hash over the planted
+    input_hint-shaped corpus (image_id, bytes, w, h, fmt, caption,
+    phash): decode → recompute phash64 → banded hamming ≤ 6 pair
+    search (the simhash machinery generalized to any 64-bit signature)
+    → image_id join-back. The engine works from the BYTES (decode +
+    rehash); the oracle recomputes the same threshold from the stored
+    phash column — the generator guarantees stored == decoded phash,
+    so this doubles as a codec/phash parity check at pair granularity."""
+    import ray.data as rd
+
+    from ..fixtures.imgdup import generate_image_dups
+    from ..stages.multimodal import image_near_dups
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(
+        paths["corpus"], columns=["image_id", "bytes", "fmt"]
+    )
+    return image_near_dups(corpus, max_hamming=6)
+
+
 def q_video_frames(sf_dir: str):
     """Video frame-sampling pipeline over the RAWV corpus: decode the
     container, uniformly sample N_SAMPLE frames per clip, emit per-frame
@@ -1745,6 +1766,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
+    "image_dedup": q_image_dedup,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -1866,11 +1888,23 @@ order by video_id, frame_idx
 select audio_id, duration_ms, rms, zcr, centroid_hz
 from read_parquet('{av["audios"]}') order by audio_id
 """
+    from ..fixtures.imgdup import generate_image_dups
+
+    imgdup = generate_image_dups()
+    image_dedup_sql = f"""
+select k1.image_id as a_id, k2.image_id as b_id,
+       bit_count(xor(k1.phash, k2.phash)) as hamming
+from read_parquet('{imgdup["corpus"]}') k1
+join read_parquet('{imgdup["corpus"]}') k2 on k1.image_id < k2.image_id
+where bit_count(xor(k1.phash, k2.phash)) <= 6
+order by a_id, b_id
+"""
     return {
         "analyze_rules": analyze_sql,
         "multimodal_decode": decode_sql,
         "video_frames": video_sql,
         "audio_features": audio_sql,
+        "image_dedup": image_dedup_sql,
     }
 
 

@@ -798,10 +798,15 @@ def _sig_pairs_recursive(
     return ii[first], jj[first], dd[first]
 
 
-def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"):
-    """Near-dup pairs by SimHash: 4×16-bit band blocking (a pair within
-    hamming<=3 must agree on >=1 band, by pigeonhole) → hamming verify
-    within buckets.
+def signature_near_dups(
+    sigs_ds, max_hamming: int = 3, id_col: str = "doc_id", sig_col: str = "simhash"
+):
+    """Exact near-dup pairs among 64-bit signatures by banded blocking:
+    the 64 bits split into ``max_hamming+1`` contiguous bands — a pair
+    within hamming <= max_hamming differs in <= max_hamming bit
+    positions, so by pigeonhole it agrees EXACTLY on >= 1 band — then
+    exact hamming verify within band buckets. Works for any int64
+    signature column (SimHash over text, perceptual phash over images).
 
     Skew guards (degenerate corpora produce huge buckets, e.g. near-empty
     docs all hashing to signature 0): within a bucket the verify runs on
@@ -818,27 +823,32 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
     OCCUPIED bucket (~262k times at 1M docs) and dominated the wall."""
     import pandas as pd
 
-    sigs = ds.map_batches(
-        lambda b: simhash_batch(b, text_col).select([id_col, "simhash"]),
-        batch_format="pyarrow",
-    )
+    sigs = sigs_ds
+    n_bands = max_hamming + 1
+    # contiguous bit ranges; for max_hamming=3 this is exactly the
+    # original 4×16-bit layout (starts 0/16/32/48), so the simhash
+    # queries' outputs are unchanged by this generalization
+    _chunks = np.array_split(np.arange(64), n_bands)
+    _starts = np.array([c[0] for c in _chunks], dtype=np.uint64)
+    _widths = np.array([len(c) for c in _chunks], dtype=np.uint64)
+    _kmasks = (np.uint64(1) << _widths) - np.uint64(1)
+    _bmasks = _kmasks << _starts
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sim = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.int64)
         u = sim.view(np.uint64)
         n = len(ids)
-        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        bands = np.tile(np.arange(n_bands, dtype=np.int32), n)
         keys = (
-            (u[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)[None, :]))
-            & np.uint64(0xFFFF)
-        ).astype(np.int32)
+            (u[:, None] >> _starts[None, :]) & _kmasks[None, :]
+        ).astype(np.int64)
         return pa.table(
             {
-                "id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "id": pa.array(np.repeat(ids, n_bands), pa.int64()),
                 "band": pa.array(bands, pa.int32()),
-                "key": pa.array(keys.reshape(-1), pa.int32()),
-                "sim": pa.array(np.repeat(sim, 4), pa.int64()),
+                "key": pa.array(keys.reshape(-1), pa.int64()),
+                "sim": pa.array(np.repeat(sim, n_bands), pa.int64()),
             }
         )
 
@@ -852,7 +862,7 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
         sims = g["sim"].to_numpy().view(np.uint64)
         band = int(g["band"].iloc[0])
         # bits already fixed by this bucket's matching band
-        free_mask = ~(np.uint64(0xFFFF) << (np.uint64(16) * np.uint64(band)))
+        free_mask = ~_bmasks[band]
         order = np.argsort(ids, kind="stable")
         ids, sims = ids[order], sims[order]
         uniq, inv = np.unique(sims, return_inverse=True)
@@ -909,6 +919,21 @@ def simhash_near_dups(ds, max_hamming: int = 3, id_col: str = "doc_id", text_col
         pairs,
         ["a", "b"],
         lambda g: g.groupby(["a", "b"], as_index=False)["hamming"].min(),
+    )
+
+
+def simhash_near_dups(
+    ds, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Near-dup pairs by SimHash: signature stage + banded blocking
+    (see ``signature_near_dups`` — for the default max_hamming=3 the
+    bands are the classic 4×16-bit layout)."""
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, text_col).select([id_col, "simhash"]),
+        batch_format="pyarrow",
+    )
+    return signature_near_dups(
+        sigs, max_hamming, id_col=id_col, sig_col="simhash"
     )
 
 

@@ -114,6 +114,111 @@ class ImageFeatures:
         return batch.append_column("features", pa.array(feats, pa.list_(pa.float64())))
 
 
+def image_near_dups(
+    corpus_ds,
+    max_hamming: int = 6,
+    batch_size: int = 64,
+    concurrency: int = 2,
+):
+    """Near-duplicate image pairs by perceptual hash: decode → recompute
+    phash64 → banded hamming blocking (``signature_near_dups`` — the
+    same exact pigeonhole machinery as simhash, over max_hamming+1 bit
+    bands) → join the hashed keys back to image_id strings.
+
+    The pair search runs on flat int64 (kid = md5_u64(image_id), phash)
+    rows — binary payloads are dropped before anything shuffles, per the
+    repo's shuffle discipline — and the join-back uses the partitioned
+    hash join, so no stage holds the corpus or the id map in one task.
+    Output: (a_id, b_id, hamming) with a_id < b_id lexically; exact at
+    the threshold (banding finds every pair ≤ max_hamming, the verify
+    recomputes true hamming)."""
+    from ..hash import md5_u64_batch
+    from .dedup import signature_near_dups
+    from .shuffle import partitioned_lookup_join
+
+    opts = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    decoded = corpus_ds.map_batches(DecodeStage, **opts)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ok = batch["decode_ok"].to_numpy(zero_copy_only=False)
+        ids = batch["image_id"].to_pylist()
+        ph = batch["dec_phash"].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ok)
+        kid = md5_u64_batch([ids[i].encode() for i in keep]).view(np.int64)
+        return pa.table(
+            {
+                "kid": pa.array(kid, pa.int64()),
+                "image_id": pa.array([ids[i] for i in keep], pa.string()),
+                "phash": pa.array(
+                    ph[keep].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    sigs = decoded.map_batches(keyed, batch_format="pyarrow")
+    mapping = sigs.map_batches(
+        lambda b: b.select(["kid", "image_id"]), batch_format="pyarrow"
+    )
+    pairs = signature_near_dups(
+        sigs.map_batches(
+            lambda b: b.select(["kid", "phash"]), batch_format="pyarrow"
+        ),
+        max_hamming,
+        id_col="kid",
+        sig_col="phash",
+    )
+
+    a_side = partitioned_lookup_join(
+        pairs.map_batches(
+            lambda b: b.rename_columns(["kid", "b", "hamming"]),
+            batch_format="pyarrow",
+        ),
+        mapping.map_batches(
+            lambda b: b.rename_columns(["kid", "a_id"]), batch_format="pyarrow"
+        ),
+        ["kid"],
+        how="inner",
+    )
+    both = partitioned_lookup_join(
+        a_side.map_batches(
+            lambda b: pa.table(
+                {
+                    "kid": b["b"].cast(pa.int64()),
+                    "hamming": b["hamming"].cast(pa.int64()),
+                    "a_id": b["a_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        mapping.map_batches(
+            lambda b: b.rename_columns(["kid", "b_id"]), batch_format="pyarrow"
+        ),
+        ["kid"],
+        how="inner",
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = batch["a_id"]
+        b = batch["b_id"]
+        swap = pc.greater(a, b)
+        return pa.table(
+            {
+                "a_id": pc.if_else(swap, b, a),
+                "b_id": pc.if_else(swap, a, b),
+                "hamming": batch["hamming"].cast(pa.int64()),
+            }
+        )
+
+    return both.map_batches(canon, batch_format="pyarrow")
+
+
 def corpus_pipeline(corpus_ds, batch_size: int = 64, concurrency: int = 2):
     """decode → resize → features over a corpus Dataset; small batches
     because rows carry image payloads.

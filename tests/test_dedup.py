@@ -258,3 +258,75 @@ def test_minhash_verify_broadcast_matches_full_shuffle(ray_session):
     slow = minhash_dedup_pairs(rd.from_arrow(t), threshold=0.5, broadcast_max_ids=0)
     assert fast.num_rows > 0  # fixture has planted near-dups
     assert fast.equals(slow)
+
+
+def test_signature_near_dups_generalized_bands(ray_session):
+    """signature_near_dups must be EXACT (pairs + distances) for
+    non-default thresholds — the generalized n_bands = max_hamming+1
+    banding (uneven widths for 64 % n_bands != 0) vs brute force."""
+    import ray.data as rd
+
+    from lopez_ray.stages.dedup import signature_near_dups
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 2**62, size=120, dtype=np.int64)
+    sigs = [int(s) for s in base]
+    # plant close pairs: flip 1..max_d bits of existing signatures
+    for k in range(40):
+        src = int(base[k % len(base)])
+        nbits = 1 + (k % 6)
+        flip = 0
+        for b in rng.choice(63, size=nbits, replace=False):
+            flip |= 1 << int(b)
+        sigs.append(src ^ flip)
+    ids = np.arange(len(sigs), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"kid": pa.array(ids), "sig": pa.array(sigs, pa.int64())})
+    )
+    for max_d in (2, 6):
+        got = (
+            signature_near_dups(ds, max_d, id_col="kid", sig_col="sig")
+            .to_pandas()
+        )
+        got_set = {
+            (int(a), int(b), int(d))
+            for a, b, d in zip(got["a"], got["b"], got["hamming"])
+        }
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin((sigs[i] ^ sigs[j]) & (2**64 - 1)).count("1")
+                if d <= max_d:
+                    want.add((i, j, d))
+        assert got_set == want, f"max_d={max_d}"
+
+
+def test_image_near_dups_matches_stored_phash(ray_session):
+    """The image pair pipeline (decode → phash → banded pairs →
+    string-id join-back) must equal the exact threshold computed from
+    the fixture's stored phash column."""
+    import ray.data as rd
+
+    from lopez_ray.fixtures.imgdup import generate_image_dups
+    from lopez_ray.stages.multimodal import image_near_dups
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(paths["corpus"], columns=["image_id", "bytes", "fmt"])
+    got = image_near_dups(corpus, max_hamming=6).to_pandas()
+    got_set = {
+        (a, b, int(d))
+        for a, b, d in zip(got["a_id"], got["b_id"], got["hamming"])
+    }
+    t = pq.read_table(paths["corpus"], columns=["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    ph = t["phash"].to_numpy()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                d = bin(int(ph[i] ^ ph[j]) & (2**64 - 1)).count("1")
+                if d <= 6:
+                    want.add((ids[i], ids[j], d))
+    assert got_set == want
+    # planted structure sanity: exact copies land at distance 0
+    assert any(d == 0 for _a, _b, d in got_set)
