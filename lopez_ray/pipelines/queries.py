@@ -1690,6 +1690,24 @@ def q_image_dedup(sf_dir: str):
     return image_near_dups(corpus, max_hamming=6)
 
 
+def q_image_dedup_keep(sf_dir: str):
+    """Image keeper set after perceptual-hash clustering: connected
+    components over the hamming ≤ 6 phash pair graph, one
+    (keeper_id = lexical-min image_id, group_size) row per cluster —
+    the image-payload twin of ``dedup_keep``. Oracle: recursive-CTE
+    transitive closure over the stored-phash pair graph."""
+    import ray.data as rd
+
+    from ..fixtures.imgdup import generate_image_dups
+    from ..stages.multimodal import image_dedup_keep
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(
+        paths["corpus"], columns=["image_id", "bytes", "fmt"]
+    )
+    return image_dedup_keep(corpus, max_hamming=6)
+
+
 def q_video_frames(sf_dir: str):
     """Video frame-sampling pipeline over the RAWV corpus: decode the
     container, uniformly sample N_SAMPLE frames per clip, emit per-frame
@@ -1767,6 +1785,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
     "image_dedup": q_image_dedup,
+    "image_dedup_keep": q_image_dedup_keep,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -1899,12 +1918,39 @@ join read_parquet('{imgdup["corpus"]}') k2 on k1.image_id < k2.image_id
 where bit_count(xor(k1.phash, k2.phash)) <= 6
 order by a_id, b_id
 """
+    image_keep_sql = f"""
+with recursive pairs as (
+  select k1.image_id as a, k2.image_id as b
+  from read_parquet('{imgdup["corpus"]}') k1
+  join read_parquet('{imgdup["corpus"]}') k2 on k1.image_id < k2.image_id
+  where bit_count(xor(k1.phash, k2.phash)) <= 6
+),
+edges as (
+  select a as u, b as v from pairs
+  union all
+  select b as u, a as v from pairs
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+comp as (select u as image_id, least(u, min(v)) as keeper from reach group by u),
+groups as (
+  select c0.image_id, coalesce(c.keeper, c0.image_id) as keeper
+  from read_parquet('{imgdup["corpus"]}') c0
+  left join comp c using (image_id)
+)
+select keeper as keeper_id, count(*) as group_size
+from groups group by keeper order by keeper_id
+"""
     return {
         "analyze_rules": analyze_sql,
         "multimodal_decode": decode_sql,
         "video_frames": video_sql,
         "audio_features": audio_sql,
         "image_dedup": image_dedup_sql,
+        "image_dedup_keep": image_keep_sql,
     }
 
 

@@ -114,27 +114,15 @@ class ImageFeatures:
         return batch.append_column("features", pa.array(feats, pa.list_(pa.float64())))
 
 
-def image_near_dups(
-    corpus_ds,
-    max_hamming: int = 6,
-    batch_size: int = 64,
-    concurrency: int = 2,
+def image_phash_sigs(
+    corpus_ds, batch_size: int = 64, concurrency: int = 2
 ):
-    """Near-duplicate image pairs by perceptual hash: decode → recompute
-    phash64 → banded hamming blocking (``signature_near_dups`` — the
-    same exact pigeonhole machinery as simhash, over max_hamming+1 bit
-    bands) → join the hashed keys back to image_id strings.
-
-    The pair search runs on flat int64 (kid = md5_u64(image_id), phash)
-    rows — binary payloads are dropped before anything shuffles, per the
-    repo's shuffle discipline — and the join-back uses the partitioned
-    hash join, so no stage holds the corpus or the id map in one task.
-    Output: (a_id, b_id, hamming) with a_id < b_id lexically; exact at
-    the threshold (banding finds every pair ≤ max_hamming, the verify
-    recomputes true hamming)."""
+    """Decode stage → flat (kid, image_id, phash) signature rows:
+    kid = md5_u64(image_id) gives every downstream exchange an int64
+    key; the binary payload is dropped HERE, before anything shuffles,
+    per the repo's shuffle discipline. Rows that fail to decode are
+    dropped (they can't participate in perceptual dedup)."""
     from ..hash import md5_u64_batch
-    from .dedup import signature_near_dups
-    from .shuffle import partitioned_lookup_join
 
     opts = dict(
         batch_format="pyarrow",
@@ -160,7 +148,29 @@ def image_near_dups(
             }
         )
 
-    sigs = decoded.map_batches(keyed, batch_format="pyarrow")
+    return decoded.map_batches(keyed, batch_format="pyarrow")
+
+
+def image_near_dups(
+    corpus_ds,
+    max_hamming: int = 6,
+    batch_size: int = 64,
+    concurrency: int = 2,
+):
+    """Near-duplicate image pairs by perceptual hash: decode → recompute
+    phash64 → banded hamming blocking (``signature_near_dups`` — the
+    same exact pigeonhole machinery as simhash, over max_hamming+1 bit
+    bands) → join the hashed keys back to image_id strings.
+
+    The pair search runs on flat int64 (kid, phash) rows, and the
+    join-back uses the partitioned hash join, so no stage holds the
+    corpus or the id map in one task. Output: (a_id, b_id, hamming)
+    with a_id < b_id lexically; exact at the threshold (banding finds
+    every pair ≤ max_hamming, the verify recomputes true hamming)."""
+    from .dedup import signature_near_dups
+    from .shuffle import partitioned_lookup_join
+
+    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency)
     mapping = sigs.map_batches(
         lambda b: b.select(["kid", "image_id"]), batch_format="pyarrow"
     )
@@ -217,6 +227,80 @@ def image_near_dups(
         )
 
     return both.map_batches(canon, batch_format="pyarrow")
+
+
+def image_dedup_keep(
+    corpus_ds,
+    max_hamming: int = 6,
+    batch_size: int = 64,
+    concurrency: int = 2,
+):
+    """The image KEEPER set after perceptual-hash near-dup clustering:
+    one row per duplicate cluster — (keeper_id, group_size) — where the
+    keeper is the lexically-least image_id in the connected component
+    of the hamming ≤ max_hamming pair graph and group_size is how many
+    images it absorbed (singletons keep themselves, size 1).
+
+    Composition: phash sigs → banded pairs on int64 kids → distributed
+    connected components (stages/cc.py BSP label propagation) → labels
+    left-joined to ALL images (partitioned join; singletons fill with
+    their own kid) → ONE partitioned reduce per group computing
+    (min(image_id), count). The component LABEL (hash-ordered kid min)
+    never reaches the output — group membership is label-invariant, so
+    the keeper is recomputed as the lexical min image_id, which a SQL
+    oracle reproduces without replicating the engine's key hash."""
+    import pyarrow.compute as pc
+
+    from .cc import connected_components
+    from .dedup import signature_near_dups
+    from .shuffle import partitioned_lookup_join, partitioned_reduce
+
+    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency)
+    mapping = sigs.map_batches(
+        lambda b: b.select(["kid", "image_id"]), batch_format="pyarrow"
+    )
+    pairs = signature_near_dups(
+        sigs.map_batches(
+            lambda b: b.select(["kid", "phash"]), batch_format="pyarrow"
+        ),
+        max_hamming,
+        id_col="kid",
+        sig_col="phash",
+    )
+    labels = connected_components(
+        pairs.map_batches(
+            lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+        )
+    ).map_batches(
+        lambda b: b.rename_columns(["kid", "group_kid"]),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_lookup_join(mapping, labels, ["kid"], how="left")
+
+    def with_group(b: pa.Table) -> pa.Table:
+        gid = pc.coalesce(
+            b["group_kid"].cast(pa.int64()), b["kid"].cast(pa.int64())
+        )
+        return pa.table({"group_kid": gid, "image_id": b["image_id"]})
+
+    grouped = joined.map_batches(with_group, batch_format="pyarrow")
+
+    def combine(g):
+        return g.groupby("group_kid", as_index=False).agg(
+            keeper_id=("image_id", "min"), group_size=("image_id", "size")
+        )
+
+    sizes = partitioned_reduce(grouped, ["group_kid"], combine)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "keeper_id": b["keeper_id"],
+                "group_size": b["group_size"].cast(pa.int64()),
+            }
+        )
+
+    return sizes.map_batches(finish, batch_format="pyarrow")
 
 
 def corpus_pipeline(corpus_ds, batch_size: int = 64, concurrency: int = 2):

@@ -330,3 +330,43 @@ def test_image_near_dups_matches_stored_phash(ray_session):
     assert got_set == want
     # planted structure sanity: exact copies land at distance 0
     assert any(d == 0 for _a, _b, d in got_set)
+
+
+def test_image_dedup_keep_matches_closure(ray_session):
+    """(keeper, size) must equal the transitive closure of the stored-
+    phash pair graph with lexical-min keepers — label choice inside the
+    distributed CC must never leak into the output."""
+    import ray.data as rd
+
+    from lopez_ray.fixtures.imgdup import generate_image_dups
+    from lopez_ray.stages.multimodal import image_dedup_keep
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(paths["corpus"], columns=["image_id", "bytes", "fmt"])
+    got = image_dedup_keep(corpus, max_hamming=6).to_pandas()
+    got_set = {(k, int(s)) for k, s in zip(got["keeper_id"], got["group_size"])}
+
+    t = pq.read_table(paths["corpus"], columns=["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    ph = t["phash"].to_numpy()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(ph[i] ^ ph[j]) & (2**64 - 1)).count("1") <= 6:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(find(i) for i in ids)
+    want = {(k, int(s)) for k, s in sizes.items()}
+    assert got_set == want
+    # planted dups mean at least one multi-member cluster exists
+    assert any(s > 1 for _k, s in got_set)
