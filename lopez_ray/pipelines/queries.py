@@ -1383,6 +1383,131 @@ def q_crawl_bfs(sf_dir: str):
     return read_table(status_path).sort_by("page_id")
 
 
+def q_crawl_image_dedup(sf_dir: str):
+    """The north-star composition end to end: FETCH + DEDUPE over the
+    image+caption corpus. Runs the flagship crawl (same seed list +
+    politeness budget as ``crawl_bfs``), takes the pages it actually
+    closed with HTTP 200, resolves their image payloads, and collapses
+    the fetched images into perceptual-hash duplicate clusters —
+    emitting the keeper set (lexical-min image_id, cluster size).
+
+    Shuffle discipline: the fetched-URL and fetched-image key sets are
+    int64 md5 keys, broadcast ONCE via ray.put and applied as
+    vectorized searchsorted semi-join filters when they fit
+    ``LOPEZ_BROADCAST_MAX_ROWS`` (they are key sets, not payloads);
+    above the gate both hops fall back to ``partitioned_lookup_join``
+    — payload bytes then transit the exchange exactly once. Decode and
+    the banded pair search only ever see FETCHED images.
+
+    Oracle: the independent single-process crawl sim's status table
+    (crawler/sim_oracle.py) joined to the fixture's web + corpus
+    ground truth, with the same recursive-CTE closure as
+    ``image_dedup_keep`` — so the oracle checks the crawl's fetched
+    set AND the dedup clustering in one hash."""
+    import ray
+    import ray.data as rd
+
+    from ..fixtures.gen import generate
+    from ..hash import md5_u64_batch
+    from ..stages.multimodal import image_dedup_keep
+    from ..stages.shuffle import partitioned_lookup_join
+
+    q_crawl_bfs(sf_dir)  # ensure the crawl ran (idempotent)
+    out_dir = _crawl_out_dir(sf_dir)
+    paths = generate("/tmp/lopez_ray_fixtures/t1", tier="t1", seed=42)
+    gate = _broadcast_max_rows()
+
+    def _keyed(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            vals = b[col].to_pylist()
+            kid = md5_u64_batch(
+                [v.encode() for v in vals]
+            ).view(np.int64)
+            return b.append_column("kid", pa.array(kid, pa.int64()))
+
+        return f
+
+    def _semi_filter(ds, key_col: str, keys_ds):
+        """Keep ds rows whose md5-key appears in keys_ds.kid — broadcast
+        searchsorted under the gate, partitioned hash join above it."""
+        if keys_ds.count() <= gate:
+            got = [t for t in ray.get(keys_ds.to_arrow_refs()) if t.num_rows]
+            keys = (
+                np.unique(
+                    np.concatenate(
+                        [
+                            t["kid"].to_numpy(zero_copy_only=False)
+                            for t in got
+                        ]
+                    ).astype(np.int64)
+                )
+                if got
+                else np.array([], np.int64)
+            )
+            keys_ref = ray.put(keys)
+
+            def filt(b: pa.Table) -> pa.Table:
+                ks = ray.get(keys_ref)
+                vals = b[key_col].to_pylist()
+                bk = md5_u64_batch([v.encode() for v in vals]).view(
+                    np.int64
+                )
+                if not len(ks) or not len(bk):
+                    return b.slice(0, 0)
+                pos = np.searchsorted(ks, bk)
+                pos[pos == len(ks)] = len(ks) - 1
+                keep = np.flatnonzero(ks[pos] == bk)
+                return b.take(pa.array(keep, pa.int64()))
+
+            return ds.map_batches(filt, batch_format="pyarrow")
+        left = ds.map_batches(_keyed(key_col), batch_format="pyarrow")
+        joined = partitioned_lookup_join(
+            left,
+            keys_ds.map_batches(
+                lambda b: b.append_column(
+                    "_hit", pa.array(np.ones(b.num_rows, np.int8))
+                ),
+                batch_format="pyarrow",
+            ),
+            ["kid"],
+            how="inner",
+        )
+        return joined.map_batches(
+            lambda b: b.drop_columns(["kid", "_hit"]), batch_format="pyarrow"
+        )
+
+    status = rd.read_parquet(os.path.join(out_dir, "wave", "status.parquet"))
+
+    def fetched_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.equal(b["search_status"], "closed"),
+            pc.equal(b["status_code"], 200),
+        )
+        urls = b.filter(keep)["url"].to_pylist()
+        kid = md5_u64_batch([u.encode() for u in urls]).view(np.int64)
+        return pa.table({"kid": pa.array(kid, pa.int64())})
+
+    fetched = status.map_batches(fetched_keys, batch_format="pyarrow")
+
+    web = rd.read_parquet(paths["web"], columns=["url", "image_id"])
+    fetched_web = _semi_filter(web, "url", fetched)
+
+    def image_keys(b: pa.Table) -> pa.Table:
+        ids = [i for i in b["image_id"].to_pylist() if i is not None]
+        kid = md5_u64_batch([i.encode() for i in ids]).view(np.int64)
+        return pa.table({"kid": pa.array(kid, pa.int64())})
+
+    img_keys = fetched_web.map_batches(image_keys, batch_format="pyarrow")
+
+    corpus = rd.read_parquet(
+        paths["corpus"], columns=["image_id", "bytes", "fmt"]
+    )
+    fetched_corpus = _semi_filter(corpus, "image_id", img_keys)
+    return image_dedup_keep(fetched_corpus, max_hamming=6)
+
+
 def q_crawl_pagerank(sf_dir: str):
     """Reference-parity PageRank (single-process numpy engine) over the
     crawl's closed→closed ahref edges. Edge harvesting is the shared
@@ -1781,6 +1906,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
+    "crawl_image_dedup": q_crawl_image_dedup,
     "multimodal_decode": q_multimodal_decode,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
@@ -1852,10 +1978,47 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         "select page_id, rank "
         f"from read_parquet('{arts['pagerank']}') order by page_id"
     )
+    crawl_img_sql = f"""
+with recursive fetched as (
+  select distinct w.image_id
+  from read_parquet('{arts['status']}') s
+  join read_parquet('{paths['web']}') w on s.url = w.url
+  where s.search_status = 'closed' and s.status_code = 200
+    and w.image_id is not null
+),
+c as (
+  select c0.image_id, c0.phash
+  from read_parquet('{paths['corpus']}') c0
+  join fetched using (image_id)
+),
+pairs as (
+  select k1.image_id as a, k2.image_id as b
+  from c k1 join c k2 on k1.image_id < k2.image_id
+  where bit_count(xor(k1.phash, k2.phash)) <= 6
+),
+edges as (
+  select a as u, b as v from pairs
+  union all
+  select b as u, a as v from pairs
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+comp as (select u as image_id, least(u, min(v)) as keeper from reach group by u),
+groups as (
+  select c.image_id, coalesce(cm.keeper, c.image_id) as keeper
+  from c left join comp cm using (image_id)
+)
+select keeper as keeper_id, count(*) as group_size
+from groups group by keeper order by keeper_id
+"""
     return {
         "crawl_bfs": status_sql,
         "crawl_pagerank": rank_sql,
         "pagerank_distributed": rank_sql,
+        "crawl_image_dedup": crawl_img_sql,
     }
 
 

@@ -76,3 +76,17 @@ def test_partitioned_lookup_join_empty_right(ray_session):
     assert len(out) == 2
     assert out["name"].isna().all()
     assert sorted(out.columns) == ["k", "name", "x"]
+
+
+def test_crawl_image_dedup_gate_fallback(ray_session, sf_dir, monkeypatch):
+    """crawl_image_dedup's two semi-join hops (fetched-urls → web,
+    image-keys → corpus) must produce identical keeper sets via the
+    broadcast searchsorted path and the partitioned-join fallback."""
+    from lopez_ray.pipelines import queries as q
+
+    monkeypatch.delenv("LOPEZ_BROADCAST_MAX_ROWS", raising=False)
+    broadcast = _canon(_df(q.q_crawl_image_dedup(sf_dir)))
+    monkeypatch.setenv("LOPEZ_BROADCAST_MAX_ROWS", "0")
+    fallback = _canon(_df(q.q_crawl_image_dedup(sf_dir)))
+    pd.testing.assert_frame_equal(broadcast, fallback, check_dtype=True)
+    assert len(broadcast) > 0
