@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "quality",
     "curate",
     "curate_neardup",
+    "image_dedup",
 ]
 
 CRAWL_TIER = os.environ.get("GRAFT_BENCH_TIER", "bench")  # 50k pages / 50 hosts
