@@ -1460,10 +1460,18 @@ def q_crawl_image_dedup(sf_dir: str):
                 return b.take(pa.array(keep, pa.int64()))
 
             return ds.map_batches(filt, batch_format="pyarrow")
+        from ..stages.shuffle import partitioned_reduce
+
         left = ds.map_batches(_keyed(key_col), batch_format="pyarrow")
+        # dedupe the key set first: several fetched pages may reference
+        # the SAME image, and duplicate lookup keys would multiply rows
+        # (the broadcast arm gets this for free from np.unique)
+        uniq_keys = partitioned_reduce(
+            keys_ds, ["kid"], lambda g: g.drop_duplicates("kid")
+        )
         joined = partitioned_lookup_join(
             left,
-            keys_ds.map_batches(
+            uniq_keys.map_batches(
                 lambda b: b.append_column(
                     "_hit", pa.array(np.ones(b.num_rows, np.int8))
                 ),
