@@ -425,6 +425,10 @@ class CrawlJob:
             "elapsed_sec": elapsed,
             "urls_per_sec": (n_sent / elapsed) if elapsed > 0 else 0.0,
             "phase_sec": {k: round(v, 2) for k, v in self._phase.items()},
+            # termination cause (north-rule counter): True when the loop
+            # stopped because the quota ran out with frontier work left,
+            # False when the frontier drained first
+            "quota_exhausted": bool(remaining_quota - n_sent <= 0),
             **{k: int(v) for k, v in counters.items()},
         }
         with open(os.path.join(self.wave_dir, "summary.json"), "w") as f:
