@@ -1430,6 +1430,9 @@ def q_crawl_image_dedup(sf_dir: str):
     def _semi_filter(ds, key_col: str, keys_ds):
         """Keep ds rows whose md5-key appears in keys_ds.kid — broadcast
         searchsorted under the gate, partitioned hash join above it."""
+        # slim int64 key table, consumed twice (gate count + the actual
+        # filter); materialize so the upstream chain runs once
+        keys_ds = keys_ds.materialize()
         if keys_ds.count() <= gate:
             got = [t for t in ray.get(keys_ds.to_arrow_refs()) if t.num_rows]
             keys = (
@@ -1961,6 +1964,40 @@ ORACLES = {
 }
 
 
+def _phash_keeper_closure_sql(source_ctes: str, max_hamming: int = 6) -> str:
+    """Shared oracle tail for the image keeper queries: given CTE text
+    ending in a relation ``c(image_id, phash)``, emit the hamming-pair
+    graph, its recursive transitive closure, lexical-min component
+    keepers with singleton fill, and the (keeper_id, group_size)
+    projection — ONE copy of the closure logic for both
+    ``image_dedup_keep`` and ``crawl_image_dedup``."""
+    return f"""
+with recursive {source_ctes},
+pairs as (
+  select k1.image_id as a, k2.image_id as b
+  from c k1 join c k2 on k1.image_id < k2.image_id
+  where bit_count(xor(k1.phash, k2.phash)) <= {max_hamming}
+),
+edges as (
+  select a as u, b as v from pairs
+  union all
+  select b as u, a as v from pairs
+),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+comp as (select u as image_id, least(u, min(v)) as keeper from reach group by u),
+groups as (
+  select c.image_id, coalesce(cm.keeper, c.image_id) as keeper
+  from c left join comp cm using (image_id)
+)
+select keeper as keeper_id, count(*) as group_size
+from groups group by keeper order by keeper_id
+"""
+
+
 def _crawl_oracle_sqls() -> dict[str, str]:
     """DuckDB oracles for the crawl family: run the single-process sim
     (``crawler/sim_oracle.py`` — DuckDB fetch.sql frontier + dict merge +
@@ -1986,8 +2023,7 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         "select page_id, rank "
         f"from read_parquet('{arts['pagerank']}') order by page_id"
     )
-    crawl_img_sql = f"""
-with recursive fetched as (
+    crawl_img_source = f"""fetched as (
   select distinct w.image_id
   from read_parquet('{arts['status']}') s
   join read_parquet('{paths['web']}') w on s.url = w.url
@@ -1998,30 +2034,8 @@ c as (
   select c0.image_id, c0.phash
   from read_parquet('{paths['corpus']}') c0
   join fetched using (image_id)
-),
-pairs as (
-  select k1.image_id as a, k2.image_id as b
-  from c k1 join c k2 on k1.image_id < k2.image_id
-  where bit_count(xor(k1.phash, k2.phash)) <= 6
-),
-edges as (
-  select a as u, b as v from pairs
-  union all
-  select b as u, a as v from pairs
-),
-reach(u, v) as (
-  select u, v from edges
-  union
-  select r.u, e.v from reach r join edges e on r.v = e.u
-),
-comp as (select u as image_id, least(u, min(v)) as keeper from reach group by u),
-groups as (
-  select c.image_id, coalesce(cm.keeper, c.image_id) as keeper
-  from c left join comp cm using (image_id)
-)
-select keeper as keeper_id, count(*) as group_size
-from groups group by keeper order by keeper_id
-"""
+)"""
+    crawl_img_sql = _phash_keeper_closure_sql(crawl_img_source)
     return {
         "crawl_bfs": status_sql,
         "crawl_pagerank": rank_sql,
@@ -2089,32 +2103,11 @@ join read_parquet('{imgdup["corpus"]}') k2 on k1.image_id < k2.image_id
 where bit_count(xor(k1.phash, k2.phash)) <= 6
 order by a_id, b_id
 """
-    image_keep_sql = f"""
-with recursive pairs as (
-  select k1.image_id as a, k2.image_id as b
-  from read_parquet('{imgdup["corpus"]}') k1
-  join read_parquet('{imgdup["corpus"]}') k2 on k1.image_id < k2.image_id
-  where bit_count(xor(k1.phash, k2.phash)) <= 6
-),
-edges as (
-  select a as u, b as v from pairs
-  union all
-  select b as u, a as v from pairs
-),
-reach(u, v) as (
-  select u, v from edges
-  union
-  select r.u, e.v from reach r join edges e on r.v = e.u
-),
-comp as (select u as image_id, least(u, min(v)) as keeper from reach group by u),
-groups as (
-  select c0.image_id, coalesce(c.keeper, c0.image_id) as keeper
-  from read_parquet('{imgdup["corpus"]}') c0
-  left join comp c using (image_id)
-)
-select keeper as keeper_id, count(*) as group_size
-from groups group by keeper order by keeper_id
-"""
+    image_keep_sql = _phash_keeper_closure_sql(
+        f"""c as (
+  select image_id, phash from read_parquet('{imgdup["corpus"]}')
+)"""
+    )
     return {
         "analyze_rules": analyze_sql,
         "multimodal_decode": decode_sql,

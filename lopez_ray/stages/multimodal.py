@@ -133,18 +133,19 @@ def image_phash_sigs(
     decoded = corpus_ds.map_batches(DecodeStage, **opts)
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ok = batch["decode_ok"].to_numpy(zero_copy_only=False)
+        # Arrow-filter FIRST: a dec_phash column containing any null
+        # (failed decode) converts to float64 via to_numpy and silently
+        # rounds every OTHER row's 64-bit hash; the filtered null-free
+        # column converts as exact int64.
+        batch = batch.filter(batch["decode_ok"])
         ids = batch["image_id"].to_pylist()
-        ph = batch["dec_phash"].to_numpy(zero_copy_only=False)
-        keep = np.flatnonzero(ok)
-        kid = md5_u64_batch([ids[i].encode() for i in keep]).view(np.int64)
+        ph = batch["dec_phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kid = md5_u64_batch([i.encode() for i in ids]).view(np.int64)
         return pa.table(
             {
                 "kid": pa.array(kid, pa.int64()),
-                "image_id": pa.array([ids[i] for i in keep], pa.string()),
-                "phash": pa.array(
-                    ph[keep].astype(np.int64), pa.int64()
-                ),
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
             }
         )
 
@@ -170,7 +171,11 @@ def image_near_dups(
     from .dedup import signature_near_dups
     from .shuffle import partitioned_lookup_join
 
-    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency)
+    # materialize the slim (kid, image_id, phash) table ONCE: it is
+    # consumed by several branches (pairs + both join-back hops), and
+    # without the barrier each branch would re-run the decode stage —
+    # the per-image compute wall — from scratch
+    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency).materialize()
     mapping = sigs.map_batches(
         lambda b: b.select(["kid", "image_id"]), batch_format="pyarrow"
     )
@@ -255,7 +260,8 @@ def image_dedup_keep(
     from .dedup import signature_near_dups
     from .shuffle import partitioned_lookup_join, partitioned_reduce
 
-    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency)
+    # same multi-branch fan-out as image_near_dups: one decode pass
+    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency).materialize()
     mapping = sigs.map_batches(
         lambda b: b.select(["kid", "image_id"]), batch_format="pyarrow"
     )

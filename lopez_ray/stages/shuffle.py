@@ -252,13 +252,34 @@ def partitioned_lookup_join(
             if how == "inner":
                 return None, 0
             rt = [right_arrow_schema.empty_table()]
-        left = pa.concat_tables(lt, promote_options="default").to_pandas()
-        right = pa.concat_tables(rt, promote_options="default").to_pandas()
+        import pandas as pd
+
+        # Integer columns map to pandas NULLABLE dtypes so a left join's
+        # introduced missing values never force a float64 upcast — a
+        # plain-int64 frame would silently ROUND values above 2^53
+        # (md5-derived keys/labels live near 2^63) before the cast-back
+        # below could run.
+        _nullable_int = {
+            pa.int8(): pd.Int8Dtype(),
+            pa.int16(): pd.Int16Dtype(),
+            pa.int32(): pd.Int32Dtype(),
+            pa.int64(): pd.Int64Dtype(),
+            pa.uint8(): pd.UInt8Dtype(),
+            pa.uint16(): pd.UInt16Dtype(),
+            pa.uint32(): pd.UInt32Dtype(),
+            pa.uint64(): pd.UInt64Dtype(),
+        }.get
+        left = pa.concat_tables(lt, promote_options="default").to_pandas(
+            types_mapper=_nullable_int
+        )
+        right = pa.concat_tables(rt, promote_options="default").to_pandas(
+            types_mapper=_nullable_int
+        )
         out = left.merge(right, how=how, on=key_cols)
         tbl = pa.Table.from_pandas(out, preserve_index=False)
-        # pandas upcasts int columns to float when a left join introduces
-        # NaN; keep key/value columns at their Arrow source types where
-        # the data allows (null-free columns cast back losslessly).
+        # Cast remaining drifted columns (e.g. int32 → Int32 → int64
+        # promotions) back to their Arrow source types where the data
+        # allows (null-free columns cast back losslessly).
         fields = {f.name: f.type for f in right_arrow_schema}
         cols = {}
         for name in tbl.column_names:

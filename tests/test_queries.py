@@ -79,8 +79,20 @@ def _oracled_names():
     lazy = {
         "crawl_bfs", "crawl_pagerank", "pagerank_distributed",
         "analyze_rules", "multimodal_decode", "video_frames", "audio_features",
+        "image_dedup", "image_dedup_keep", "crawl_image_dedup",
+        # planted-fixture oracles (missing here pre-round-4: the drift
+        # guard below now makes this list enforce itself)
+        "ann_ivf", "embedding_dups",
     }
     return sorted(set(ORACLES) | lazy)
+
+
+def test_oracled_names_cover_build_oracles(entry_mod):
+    """Drift guard: every oracle build_oracles() actually returns must be
+    parametrized into test_query_vs_oracle — a new lazily-generated
+    oracle that is not added to the hardcoded `lazy` set above would
+    otherwise silently skip the local gate."""
+    assert set(entry_mod.oracle_sql()) == set(_oracled_names())
 
 
 @pytest.mark.parametrize("name", _oracled_names())

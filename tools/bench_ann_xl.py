@@ -91,6 +91,10 @@ def gen_corpus(out_dir: str, n_vecs: int) -> str:
         )
 
     tmp = os.path.join(out_dir, "vec_parts")
+    if os.path.exists(tmp):  # stale parts from a crashed earlier gen
+        import shutil
+
+        shutil.rmtree(tmp)
     rd.range(n_blocks).repartition(n_blocks).map_batches(
         make, batch_format="pyarrow"
     ).write_parquet(tmp)

@@ -99,6 +99,10 @@ def gen_corpus(out_dir: str, n_docs: int) -> str:
     ds = rd.range(n_blocks).repartition(n_blocks).map_batches(make, batch_format="pyarrow")
     # one directory of block files (resumable layout), read back as one table path
     tmp = os.path.join(out_dir, "docs_parts")
+    if os.path.exists(tmp):  # stale parts from a crashed earlier gen
+        import shutil
+
+        shutil.rmtree(tmp)
     ds.write_parquet(tmp)
     # documents.parquet as a directory is fine for read_parquet consumers
     if os.path.exists(path) and os.path.isdir(path):

@@ -126,6 +126,10 @@ def gen_corpus(out_dir: str, n_images: int) -> str:
         make, batch_format="pyarrow"
     )
     tmp = os.path.join(out_dir, "corpus_parts")
+    if os.path.exists(tmp):  # stale parts from a crashed earlier gen
+        import shutil
+
+        shutil.rmtree(tmp)
     ds.write_parquet(tmp)
     if os.path.exists(path) and os.path.isdir(path):
         import shutil
