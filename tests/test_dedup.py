@@ -370,3 +370,37 @@ def test_image_dedup_keep_matches_closure(ray_session):
     assert got_set == want
     # planted dups mean at least one multi-member cluster exists
     assert any(s > 1 for _k, s in got_set)
+
+
+def test_image_sigs_null_decode_rows_dropped_exactly(ray_session):
+    """A row whose format can't be decoded (honest stub seam) must be
+    DROPPED from the signature table without corrupting neighbors: a
+    null in an int64 Arrow column converts to float64 via to_numpy and
+    silently rounds every other row's 64-bit phash (regression test for
+    the round-4 review fix)."""
+    import ray.data as rd
+
+    from lopez_ray.fixtures.imgdup import generate_image_dups
+    from lopez_ray.stages.multimodal import image_phash_sigs
+
+    paths = generate_image_dups()
+    t = pq.read_table(paths["corpus"]).slice(0, 16)
+    # poison one row with a stubbed-format payload mid-batch
+    fmt = t["fmt"].to_pylist()
+    fmt[3] = "webp"
+    t = t.set_column(t.schema.get_field_index("fmt"), "fmt", pa.array(fmt))
+    got = (
+        image_phash_sigs(rd.from_arrow(t), batch_size=16)
+        .to_pandas()
+        .set_index("image_id")["phash"]
+    )
+    want = {
+        i: p
+        for i, p, f in zip(
+            t["image_id"].to_pylist(), t["phash"].to_pylist(), fmt
+        )
+        if f != "webp"
+    }
+    assert len(got) == 15 and t["image_id"][3].as_py() not in got.index
+    for iid, ph in want.items():
+        assert int(got[iid]) == ph, iid  # bit-exact despite the null row
