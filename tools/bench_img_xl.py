@@ -144,6 +144,7 @@ def gen_corpus(out_dir: str, n_images: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=100_000)
+    ap.add_argument("--hamming", type=int, default=6)
     ap.add_argument(
         "--cpus",
         type=int,
@@ -191,13 +192,13 @@ def main() -> None:
 
     t0 = time.perf_counter()
     rows["image_dedup"] = image_near_dups(
-        read(), max_hamming=6, batch_size=256, concurrency=conc
+        read(), max_hamming=args.hamming, batch_size=256, concurrency=conc
     ).count()
     stages["image_dedup"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     rows["image_dedup_keep"] = image_dedup_keep(
-        read(), max_hamming=6, batch_size=256, concurrency=conc
+        read(), max_hamming=args.hamming, batch_size=256, concurrency=conc
     ).count()
     stages["image_dedup_keep"] = round(time.perf_counter() - t0, 2)
 
@@ -209,6 +210,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_images": args.images,
+                "max_hamming": args.hamming,
                 "stages": stages,
                 "rows": rows,
                 "num_cpus": args.cpus,
