@@ -550,21 +550,28 @@ class CrawlJob:
         # waves cap total call/task count at ~8 chunks per fetcher so
         # scheduler dispatch doesn't become the serial bottleneck.
         chunk = max(self.fetch_chunk_rows, n // (8 * self.n_fetchers) + 1)
+        # ONE chunking pass for both dispatch modes (the fused and split
+        # paths are contractually output-identical — keeping a single
+        # copy of the salted-slot chunk logic is what guarantees a future
+        # chunking change can't diverge them).
+        chunks: list[tuple[int, pa.Table]] = []
+        for g in np.split(order, bounds):
+            p = int(slot[g[0]])
+            sub = tbl.take(pa.array(g))
+            for off in range(0, len(g), chunk):
+                chunks.append((p, sub.slice(off, chunk)))
         if self.fuse_analyze:
             # FUSED path: fetch+analyze+push run inside the fetch actor
             # per chunk; the payload-bearing intermediate never enters
             # plasma (fetch.py:fetch_analyze). The count barrier below is
             # simultaneously the fetch, analyze and push barrier.
             out_refs, cnt_refs = [], []
-            for g in np.split(order, bounds):
-                p = int(slot[g[0]])
-                sub = tbl.take(pa.array(g))
-                for off in range(0, len(g), chunk):
-                    t_ref, c_ref = self.fetchers[p].fetch_analyze.options(
-                        num_returns=2
-                    ).remote(sub.slice(off, chunk))
-                    out_refs.append(t_ref)
-                    cnt_refs.append(c_ref)
+            for p, sub in chunks:
+                t_ref, c_ref = self.fetchers[p].fetch_analyze.options(
+                    num_returns=2
+                ).remote(sub)
+                out_refs.append(t_ref)
+                cnt_refs.append(c_ref)
             self._phase["partition"] += time.monotonic() - tp
             tp = time.monotonic()
             ray.get(cnt_refs)
@@ -575,12 +582,9 @@ class CrawlJob:
                 for i, r in enumerate(out_refs)
             )
             return
-        refs = []
-        for g in np.split(order, bounds):
-            p = int(slot[g[0]])
-            sub = tbl.take(pa.array(g))
-            for off in range(0, len(g), chunk):
-                refs.append(self.fetchers[p].fetch.remote(sub.slice(off, chunk)))
+        refs = [
+            self.fetchers[p].fetch.remote(sub) for p, sub in chunks
+        ]
         self._phase["partition"] += time.monotonic() - tp
         # Fetch barrier BEFORE the analyze dataset: fetch actors reserve
         # 0.25 CPU but burn a full core during their burst; letting that

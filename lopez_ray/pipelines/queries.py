@@ -1663,10 +1663,17 @@ def q_curate(sf_dir: str):
     # themselves are covered by tests/test_curate_resume.py.
     if not hasattr(q_curate, "_seq"):
         q_curate._seq = _it.count()
-    out_dir = os.path.join(
-        "/tmp/lopez_ray_curated",
-        f"{sf_dir.strip('/').replace('/', '_')}-{os.getpid()}-{next(q_curate._seq)}",
-    )
+    base = "/tmp/lopez_ray_curated"
+    prefix = f"{sf_dir.strip('/').replace('/', '_')}-{os.getpid()}-"
+    # reclaim THIS process's previous outputs: repeated bench passes
+    # would otherwise accumulate a full curated corpus copy per call
+    if os.path.isdir(base):
+        import shutil
+
+        for d in os.listdir(base):
+            if d.startswith(prefix):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    out_dir = os.path.join(base, f"{prefix}{next(q_curate._seq)}")
     ds = curate(sf_dir, out_dir=out_dir)
 
     def canon(b: pa.Table) -> pa.Table:

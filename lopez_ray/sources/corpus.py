@@ -136,13 +136,22 @@ def _has_data_files(path: str) -> bool:
     """True when the directory holds at least one readable data file
     (lance subdir or parquet). A wave dir can exist empty: the async
     wave writer creates the directory first and a crash before the
-    atomic rename lands leaves it file-less."""
-    if HAVE_LANCE and (
-        _is_lance_dir(path)
-        or any(
-            _is_lance_dir(os.path.join(path, d)) for d in os.listdir(path)
-        )
-    ):
+    atomic rename lands leaves it file-less.
+
+    Lance-shaped content is detected WITHOUT importing lance (the
+    marker is filesystem-only): a crawl written under a lance-enabled
+    environment but read where lance isn't importable must fail loudly
+    rather than be silently classified as an empty dir and dropped
+    from pagerank/edge-harvest results."""
+    has_lance_shape = _is_lance_dir(path) or any(
+        _is_lance_dir(os.path.join(path, d)) for d in os.listdir(path)
+    )
+    if has_lance_shape:
+        if not HAVE_LANCE:
+            raise RuntimeError(
+                f"wave dir {path} holds Lance data but the lance package "
+                "is not importable here — refusing to silently skip it"
+            )
         return True
     return any(f.endswith(".parquet") for f in os.listdir(path))
 

@@ -95,6 +95,12 @@ def _streamed_split(ds, split_task, n_slots: int):
     ``(per_slot, n_blocks)``."""
     import os
 
+    import ray
+
+    @ray.remote
+    def _first_part(parts):
+        return parts[0]
+
     per_slot: list[list] = [[] for _ in range(n_slots)]
     n_blocks = 0
     if os.environ.get("LOPEZ_SHUFFLE_STREAM", "1") != "0":
@@ -109,7 +115,10 @@ def _streamed_split(ds, split_task, n_slots: int):
         n_blocks += 1
         refs = split_task.options(num_returns=n_slots).remote(ref)
         if n_slots == 1:
-            refs = [refs]
+            # with num_returns=1 Ray does NOT unpack the split task's
+            # 1-tuple — the single ref's VALUE would be the tuple and
+            # downstream tasks would crash on .num_rows; unwrap it
+            refs = [_first_part.remote(refs)]
         for b, r in enumerate(refs):
             per_slot[b].append(r)
     return per_slot, n_blocks

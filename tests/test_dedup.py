@@ -404,3 +404,29 @@ def test_image_sigs_null_decode_rows_dropped_exactly(ray_session):
     assert len(got) == 15 and t["image_id"][3].as_py() not in got.index
     for iid, ph in want.items():
         assert int(got[iid]) == ph, iid  # bit-exact despite the null row
+
+
+def test_partitioned_reduce_single_partition(ray_session):
+    """n_parts=1 (degenerate fan-out): with num_returns=1 Ray does not
+    unpack the split task's 1-tuple; the exchange must unwrap it rather
+    than hand reduce tasks a tuple (regression: AttributeError
+    'tuple' object has no attribute 'num_rows')."""
+    import ray.data as rd
+
+    from lopez_ray.stages.shuffle import partitioned_reduce
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    )
+    out = (
+        partitioned_reduce(
+            ds, ["k"], lambda g: g.groupby("k", as_index=False)["v"].sum(),
+            n_parts=1,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["v"].tolist() == [40, 60, 50]
