@@ -197,10 +197,24 @@ def main() -> None:
     stages["image_dedup"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    rows["image_dedup_keep"] = image_dedup_keep(
+    keep_ds = image_dedup_keep(
         read(), max_hamming=args.hamming, batch_size=256, concurrency=conc
-    ).count()
+    )
+    import pyarrow.compute as pc
+
+    absorbed = 0
+    n_keepers = 0
+    for b in keep_ds.iter_batches(batch_format="pyarrow"):
+        n_keepers += b.num_rows
+        absorbed += int(pc.sum(b["group_size"]).as_py() or 0)
+    rows["image_dedup_keep"] = n_keepers
     stages["image_dedup_keep"] = round(time.perf_counter() - t0, 2)
+    # conservation invariant: every decoded image lands in exactly one
+    # cluster, so the keeper set's sizes must sum to the corpus
+    if absorbed != rows["sigs"]:
+        raise AssertionError(
+            f"keeper group sizes sum to {absorbed}, expected {rows['sigs']}"
+        )
 
     total = round(sum(stages.values()) - stages["gen"], 2)
     print(
