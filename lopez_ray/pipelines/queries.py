@@ -1851,6 +1851,119 @@ def q_image_dedup_keep(sf_dir: str):
     return image_dedup_keep(corpus, max_hamming=6)
 
 
+def q_image_exact_dedup(sf_dir: str):
+    """EXACT image dedup (byte-identical payloads) over the planted-dup
+    corpus: MD5-128 the binary payload inside map_batches, one
+    partitioned reduce keyed on the hash → (keeper_id, n_copies).
+    The oracle groups by the BLOB itself — the engine's hash key never
+    appears in the output, so a hash-side bug can't self-certify."""
+    import ray.data as rd
+
+    from ..fixtures.imgdup import generate_image_dups
+    from ..stages.multimodal import image_exact_dedup
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(paths["corpus"], columns=["image_id", "bytes"])
+    return image_exact_dedup(corpus)
+
+
+def q_image_curate(sf_dir: str):
+    """LAION-style size/aspect curation over the image corpus: decode
+    the payload, keep min(w,h) ≥ 32 and max(w,h) ≤ 2·min(w,h), emit
+    (image_id, dec_w, dec_h, px). The engine decides on DECODED dims;
+    the oracle filters on the generator's stored w/h — equal by
+    construction, so the filter doubles as a decode-dims parity check
+    over the whole corpus."""
+    import ray.data as rd
+
+    from ..fixtures.imgdup import generate_image_dups
+    from ..stages.multimodal import image_curate
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(
+        paths["corpus"], columns=["image_id", "bytes", "fmt"]
+    )
+    return image_curate(corpus, min_side=32, max_aspect_num=2)
+
+
+def q_image_keep_best(sf_dir: str):
+    """Keep the BEST copy per perceptual cluster (highest decoded
+    pixel count, ties → lexical-min image_id) — the realistic keeper
+    rule next to ``image_dedup_keep``'s id-min convention. Oracle:
+    recursive-CTE closure over the stored-phash pair graph + a
+    window-function argmax on stored w·h."""
+    import ray.data as rd
+
+    from ..fixtures.imgdup import generate_image_dups
+    from ..stages.multimodal import image_dedup_keep_best
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(
+        paths["corpus"], columns=["image_id", "bytes", "fmt"]
+    )
+    return image_dedup_keep_best(corpus, max_hamming=6)
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary with counts — the canonical wordcount over the
+    documents table: per-batch combiner (one row per distinct token per
+    batch crosses the shuffle) → partitioned reduce → global
+    (cnt desc, token) order, top 200."""
+    from ..stages.text import token_ngram_counts
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    counts = token_ngram_counts(ds, n=1)
+    return counts.sort(["cnt", "token"], descending=[True, False]).limit(200)
+
+
+SQL_VOCAB_TOPK = """
+select token, cnt from (
+  select token, count(*) as cnt
+  from (
+    select unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as token
+    from documents
+  )
+  group by token
+)
+order by cnt desc, token limit 200
+"""
+
+
+def q_boilerplate_ngrams(sf_dir: str):
+    """Cross-document duplicated 5-grams (document frequency ≥ 2) — the
+    CCNet/C4-style boilerplate signal: per-doc DISTINCT 5-grams, summed
+    across the corpus by a combiner + one partitioned reduce, filtered
+    to grams appearing in at least two documents."""
+    import pyarrow as pa
+
+    from ..stages.text import token_ngram_counts
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    counts = token_ngram_counts(ds, n=5, per_doc_distinct=True, min_count=2)
+    return counts.map_batches(
+        lambda b: pa.table({"gram": b["gram"], "n_docs": b["cnt"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = """
+with toks as (
+  select doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') as t
+  from documents
+),
+grams as (
+  select distinct doc_id, g from (
+    select doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                                 i -> array_to_string(t[i:i+4], ' '))) as g
+    from toks
+  )
+)
+select g as gram, count(*) as n_docs
+from grams group by g having count(*) >= 2
+"""
+
+
 def q_video_frames(sf_dir: str):
     """Video frame-sampling pipeline over the RAWV corpus: decode the
     container, uniformly sample N_SAMPLE frames per clip, emit per-frame
@@ -1930,6 +2043,11 @@ QUERIES = {
     "audio_features": q_audio_features,
     "image_dedup": q_image_dedup,
     "image_dedup_keep": q_image_dedup_keep,
+    "image_exact_dedup": q_image_exact_dedup,
+    "image_curate": q_image_curate,
+    "image_keep_best": q_image_keep_best,
+    "vocab_topk": q_vocab_topk,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -1968,16 +2086,19 @@ ORACLES = {
     "dedup_groups": SQL_DEDUP_GROUPS,
     "dedup_keep": SQL_DEDUP_KEEP,
     "curate_neardup": _sql_curate_neardup(),
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
 }
 
 
-def _phash_keeper_closure_sql(source_ctes: str, max_hamming: int = 6) -> str:
-    """Shared oracle tail for the image keeper queries: given CTE text
-    ending in a relation ``c(image_id, phash)``, emit the hamming-pair
-    graph, its recursive transitive closure, lexical-min component
-    keepers with singleton fill, and the (keeper_id, group_size)
-    projection — ONE copy of the closure logic for both
-    ``image_dedup_keep`` and ``crawl_image_dedup``."""
+def _phash_components_sql(source_ctes: str, max_hamming: int = 6) -> str:
+    """Shared oracle PREFIX for the image keeper queries: given CTE text
+    ending in a relation ``c(image_id, phash, ...)``, emit the
+    hamming-pair graph, its recursive transitive closure, and the
+    per-image component assignment ``groups(image_id, keeper)`` with
+    singleton fill — ONE copy of the closure logic for every
+    phash-cluster oracle (min-id keepers, best-px keepers, crawl
+    composition)."""
     return f"""
 with recursive {source_ctes},
 pairs as (
@@ -1999,9 +2120,34 @@ comp as (select u as image_id, least(u, min(v)) as keeper from reach group by u)
 groups as (
   select c.image_id, coalesce(cm.keeper, c.image_id) as keeper
   from c left join comp cm using (image_id)
-)
+)"""
+
+
+def _phash_keeper_closure_sql(source_ctes: str, max_hamming: int = 6) -> str:
+    """Min-id keeper tail: (keeper_id, group_size) per component — used
+    by ``image_dedup_keep`` and ``crawl_image_dedup``."""
+    return _phash_components_sql(source_ctes, max_hamming) + """
 select keeper as keeper_id, count(*) as group_size
 from groups group by keeper order by keeper_id
+"""
+
+
+def _phash_keep_best_sql(source_ctes: str, max_hamming: int = 6) -> str:
+    """Best-copy keeper tail: per component, the member with the
+    highest stored pixel count (w·h), ties by lexical-min image_id —
+    ``c`` must also carry (w, h). Used by ``image_keep_best``."""
+    return _phash_components_sql(source_ctes, max_hamming) + """
+, ranked as (
+  select g.keeper, c.image_id, cast(c.w as bigint) * c.h as px,
+         count(*) over (partition by g.keeper) as group_size,
+         row_number() over (partition by g.keeper
+                            order by cast(c.w as bigint) * c.h desc,
+                                     c.image_id) as rn
+  from groups g join c using (image_id)
+)
+select image_id as keeper_id, px as keeper_px,
+       cast(group_size as bigint) as group_size
+from ranked where rn = 1 order by keeper_id
 """
 
 
@@ -2115,6 +2261,22 @@ order by a_id, b_id
   select image_id, phash from read_parquet('{imgdup["corpus"]}')
 )"""
     )
+    image_keep_best_sql = _phash_keep_best_sql(
+        f"""c as (
+  select image_id, phash, w, h from read_parquet('{imgdup["corpus"]}')
+)"""
+    )
+    image_exact_sql = f"""
+select min(image_id) as keeper_id, count(*) as n_copies
+from read_parquet('{imgdup["corpus"]}')
+group by bytes order by keeper_id
+"""
+    image_curate_sql = f"""
+select image_id, w as dec_w, h as dec_h, cast(w as bigint) * h as px
+from read_parquet('{imgdup["corpus"]}')
+where least(w, h) >= 32 and greatest(w, h) <= 2 * least(w, h)
+order by image_id
+"""
     return {
         "analyze_rules": analyze_sql,
         "multimodal_decode": decode_sql,
@@ -2122,6 +2284,9 @@ order by a_id, b_id
         "audio_features": audio_sql,
         "image_dedup": image_dedup_sql,
         "image_dedup_keep": image_keep_sql,
+        "image_keep_best": image_keep_best_sql,
+        "image_exact_dedup": image_exact_sql,
+        "image_curate": image_curate_sql,
     }
 
 

@@ -66,11 +66,15 @@ def add_content_hash128(batch: pa.Table, col: str = "text") -> pa.Table:
     """128-bit MD5 content key as two int64 columns (ch_lo, ch_hi) —
     collision-safe at the 10^10-doc design point where a 64-bit key
     expects >1 collision (and exact dedup on a collided key silently
-    merges distinct documents)."""
+    merges distinct documents). ``col`` may be a string column (text
+    dedup) or a binary one (image-payload exact dedup): bytes hash
+    as-is, strings hash their UTF-8 encoding."""
     from ..hash import md5_u128_batch
 
-    texts = batch[col].to_pylist()
-    lo, hi = md5_u128_batch([t.encode() if t else b"" for t in texts])
+    vals = batch[col].to_pylist()
+    lo, hi = md5_u128_batch(
+        [v if isinstance(v, bytes) else (v.encode() if v else b"") for v in vals]
+    )
     return batch.append_column(
         "ch_lo", pa.array(lo.view(np.int64), pa.int64())
     ).append_column("ch_hi", pa.array(hi.view(np.int64), pa.int64()))

@@ -117,11 +117,13 @@ class ImageFeatures:
 def image_phash_sigs(
     corpus_ds, batch_size: int = 64, concurrency: int = 2
 ):
-    """Decode stage → flat (kid, image_id, phash) signature rows:
+    """Decode stage → flat (kid, image_id, phash, px) signature rows:
     kid = md5_u64(image_id) gives every downstream exchange an int64
-    key; the binary payload is dropped HERE, before anything shuffles,
-    per the repo's shuffle discipline. Rows that fail to decode are
-    dropped (they can't participate in perceptual dedup)."""
+    key, px = decoded pixel count (dec_w × dec_h — the keep-best
+    keeper criterion rides the same decode pass); the binary payload
+    is dropped HERE, before anything shuffles, per the repo's shuffle
+    discipline. Rows that fail to decode are dropped (they can't
+    participate in perceptual dedup)."""
     from ..hash import md5_u64_batch
 
     opts = dict(
@@ -140,12 +142,15 @@ def image_phash_sigs(
         batch = batch.filter(batch["decode_ok"])
         ids = batch["image_id"].to_pylist()
         ph = batch["dec_phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["dec_w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["dec_h"].to_numpy(zero_copy_only=False).astype(np.int64)
         kid = md5_u64_batch([i.encode() for i in ids]).view(np.int64)
         return pa.table(
             {
                 "kid": pa.array(kid, pa.int64()),
                 "image_id": pa.array(ids, pa.string()),
                 "phash": pa.array(ph, pa.int64()),
+                "px": pa.array(w * h, pa.int64()),
             }
         )
 
@@ -302,6 +307,183 @@ def image_dedup_keep(
         return pa.table(
             {
                 "keeper_id": b["keeper_id"],
+                "group_size": b["group_size"].cast(pa.int64()),
+            }
+        )
+
+    return sizes.map_batches(finish, batch_format="pyarrow")
+
+
+def image_exact_dedup(corpus_ds, batch_size: int = 64):
+    """EXACT image dedup — keep the lexically-least image_id per
+    byte-identical payload group. The cheap first rung of the image
+    dedup ladder (before perceptual hashing): re-crawled and hot-linked
+    copies of the same file are byte-equal, so a 128-bit MD5 over the
+    raw payload collapses them without decoding a single pixel.
+
+    Same shuffle shape as the text ``exact_dedup``: hash the payload
+    inside ``map_batches`` (binary column, never leaves the task), drop
+    the payload, then ONE partitioned reduce keyed on (ch_lo, ch_hi)
+    computing (min image_id, group size). Output:
+    (keeper_id, n_copies) — one row per distinct payload."""
+    from .dedup import add_content_hash128
+    from .shuffle import partitioned_reduce
+
+    hashed = corpus_ds.map_batches(
+        lambda b: add_content_hash128(b, "bytes").select(
+            ["image_id", "ch_lo", "ch_hi"]
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    red = partitioned_reduce(
+        hashed,
+        ["ch_lo", "ch_hi"],
+        lambda g: g.groupby(["ch_lo", "ch_hi"], as_index=False).agg(
+            keeper_id=("image_id", "min"), n_copies=("image_id", "size")
+        ),
+    )
+    return red.map_batches(
+        lambda b: pa.table(
+            {
+                "keeper_id": b["keeper_id"],
+                "n_copies": b["n_copies"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def image_curate(
+    corpus_ds,
+    min_side: int = 32,
+    max_aspect_num: int = 2,
+    batch_size: int = 64,
+    concurrency: int = 2,
+):
+    """LAION-style image curation filter: decode the payload and keep
+    images whose DECODED dimensions satisfy min(w, h) ≥ ``min_side``
+    and max(w, h) ≤ ``max_aspect_num`` × min(w, h) (the aspect gate is
+    integer arithmetic — no float-ratio edge cases to mirror in SQL).
+    Rows that fail to decode are dropped (can't be curated). Output:
+    (image_id, dec_w, dec_h, px) for keepers.
+
+    The decision runs on the decoded dims, not stored metadata — a
+    corpus with lying metadata is exactly what a curation filter is
+    for; the fixture generator's stored w/h double as the oracle."""
+    import pyarrow.compute as pc
+
+    opts = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    decoded = corpus_ds.map_batches(DecodeStage, **opts)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(batch["decode_ok"])
+        w = b["dec_w"].cast(pa.int64())
+        h = b["dec_h"].cast(pa.int64())
+        mn = pc.min_element_wise(w, h)
+        mx = pc.max_element_wise(w, h)
+        mask = pc.and_(
+            pc.greater_equal(mn, pa.scalar(min_side, pa.int64())),
+            pc.less_equal(mx, pc.multiply(mn, pa.scalar(max_aspect_num, pa.int64()))),
+        )
+        b = b.filter(mask)
+        w = b["dec_w"].cast(pa.int64())
+        h = b["dec_h"].cast(pa.int64())
+        return pa.table(
+            {
+                "image_id": b["image_id"],
+                "dec_w": b["dec_w"].cast(pa.int32()),
+                "dec_h": b["dec_h"].cast(pa.int32()),
+                "px": pc.multiply(w, h),
+            }
+        )
+
+    return decoded.map_batches(keep, batch_format="pyarrow")
+
+
+def image_dedup_keep_best(
+    corpus_ds,
+    max_hamming: int = 6,
+    batch_size: int = 64,
+    concurrency: int = 2,
+):
+    """Keeper set that keeps the BEST copy per perceptual cluster —
+    highest decoded resolution (px = w × h), ties broken by lexical-min
+    image_id — instead of ``image_dedup_keep``'s id-min convention.
+    This is the realistic curation choice: near-dup clusters produced
+    by re-encodes and thumbnails should keep the original, and pixel
+    count is the standard proxy.
+
+    Same composition as ``image_dedup_keep`` (one decode pass → banded
+    pairs → connected components → label join-back), but the final
+    per-group reduce sorts (px desc, image_id asc) and takes the first
+    row. Output: (keeper_id, keeper_px, group_size)."""
+    import pyarrow.compute as pc
+
+    from .cc import connected_components
+    from .dedup import signature_near_dups
+    from .shuffle import partitioned_lookup_join, partitioned_reduce
+
+    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency).materialize()
+    mapping = sigs.map_batches(
+        lambda b: b.select(["kid", "image_id", "px"]), batch_format="pyarrow"
+    )
+    pairs = signature_near_dups(
+        sigs.map_batches(
+            lambda b: b.select(["kid", "phash"]), batch_format="pyarrow"
+        ),
+        max_hamming,
+        id_col="kid",
+        sig_col="phash",
+    )
+    labels = connected_components(
+        pairs.map_batches(
+            lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+        )
+    ).map_batches(
+        lambda b: b.rename_columns(["kid", "group_kid"]),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_lookup_join(mapping, labels, ["kid"], how="left")
+
+    def with_group(b: pa.Table) -> pa.Table:
+        gid = pc.coalesce(
+            b["group_kid"].cast(pa.int64()), b["kid"].cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "group_kid": gid,
+                "image_id": b["image_id"],
+                "px": b["px"].cast(pa.int64()),
+            }
+        )
+
+    grouped = joined.map_batches(with_group, batch_format="pyarrow")
+
+    def combine(g):
+        g = g.sort_values(
+            ["group_kid", "px", "image_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("group_kid", as_index=False).agg(
+            keeper_id=("image_id", "first"),
+            keeper_px=("px", "first"),
+            group_size=("image_id", "size"),
+        )
+
+    sizes = partitioned_reduce(grouped, ["group_kid"], combine)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "keeper_id": b["keeper_id"],
+                "keeper_px": b["keeper_px"].cast(pa.int64()),
                 "group_size": b["group_size"].cast(pa.int64()),
             }
         )

@@ -208,3 +208,83 @@ class Fingerprint:
             pa.array([min(f) if f else None for f in fps], pa.int64()),
         )
         return batch
+
+
+def token_ngram_counts(
+    ds,
+    n: int = 1,
+    per_doc_distinct: bool = False,
+    min_count: int = 1,
+    text_col: str = "text",
+):
+    """Corpus-wide token / token-n-gram frequency — the canonical
+    wordcount, shaped for scale: each ``map_batches`` task tokenizes its
+    batch and pre-aggregates counts locally (the combiner — the shuffle
+    carries one row per DISTINCT gram per batch, not one per
+    occurrence), then ONE partitioned reduce keyed on a 64-bit md5 of
+    the gram sums the partials. The md5 key only ROUTES rows (same gram
+    → same partition); the reduce groups by the gram string itself, so
+    a key collision cannot merge distinct grams.
+
+    ``per_doc_distinct=True`` counts each gram at most once per
+    document (document frequency — the CCNet/C4-style boilerplate
+    signal); ``min_count`` filters the reduced rows vectorized inside
+    the reduce. Tokenization is ``TOKEN_RE`` over lowercased text,
+    identical to the stats/fingerprint stages (and replicated in the
+    DuckDB oracles via regexp_extract_all).
+
+    Returns a Dataset of (token, cnt) rows [n=1] or (gram, cnt) rows
+    [n>1] — cnt is occurrences or document frequency per the flag."""
+    import pandas as pd
+
+    from ..hash import md5_u64_batch
+    from .shuffle import partitioned_reduce
+
+    col = "token" if n == 1 else "gram"
+    token_re = re.compile(TOKEN_RE)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for text in batch[text_col].to_pylist():
+            toks = token_re.findall(text.lower()) if text else []
+            if n == 1:
+                doc_grams = toks
+            else:
+                doc_grams = [
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+            if per_doc_distinct:
+                doc_grams = set(doc_grams)
+            grams.extend(doc_grams)
+        if not grams:
+            return pa.table(
+                {
+                    "gh": pa.array([], pa.int64()),
+                    col: pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        vc = pd.Series(grams).value_counts()
+        keys = vc.index.to_numpy(dtype=object)
+        gh = md5_u64_batch([k.encode() for k in keys]).view(np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                col: pa.array(keys, pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(g):
+        out = g.groupby(["gh", col], as_index=False).agg(cnt=("cnt", "sum"))
+        if min_count > 1:
+            out = out[out["cnt"] >= min_count]
+        return out
+
+    red = partitioned_reduce(partials, ["gh"], combine)
+    return red.map_batches(
+        lambda b: b.select([col, "cnt"]), batch_format="pyarrow"
+    )
