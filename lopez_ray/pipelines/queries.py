@@ -1867,6 +1867,23 @@ def q_image_exact_dedup(sf_dir: str):
     return image_exact_dedup(corpus)
 
 
+def q_image_caption_dedup(sf_dir: str):
+    """Cross-modal exact dedup: group images by IDENTICAL CAPTION
+    (alt-text reuse — the fixture's perturbed near-dups inherit their
+    source's caption while their bytes differ, so caption groups are a
+    superset of byte groups). Same MD5-key + partitioned-reduce shape
+    as ``image_exact_dedup``; the oracle groups by the caption string
+    itself."""
+    import ray.data as rd
+
+    from ..fixtures.imgdup import generate_image_dups
+    from ..stages.multimodal import image_exact_dedup
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(paths["corpus"], columns=["image_id", "caption"])
+    return image_exact_dedup(corpus, key_col="caption")
+
+
 def q_image_curate(sf_dir: str):
     """LAION-style size/aspect curation over the image corpus: decode
     the payload, keep min(w,h) ≥ 32 and max(w,h) ≤ 2·min(w,h), emit
@@ -2044,6 +2061,7 @@ QUERIES = {
     "image_dedup": q_image_dedup,
     "image_dedup_keep": q_image_dedup_keep,
     "image_exact_dedup": q_image_exact_dedup,
+    "image_caption_dedup": q_image_caption_dedup,
     "image_curate": q_image_curate,
     "image_keep_best": q_image_keep_best,
     "vocab_topk": q_vocab_topk,
@@ -2271,6 +2289,11 @@ select min(image_id) as keeper_id, count(*) as n_copies
 from read_parquet('{imgdup["corpus"]}')
 group by bytes order by keeper_id
 """
+    image_caption_sql = f"""
+select min(image_id) as keeper_id, count(*) as n_copies
+from read_parquet('{imgdup["corpus"]}')
+group by caption order by keeper_id
+"""
     image_curate_sql = f"""
 select image_id, w as dec_w, h as dec_h, cast(w as bigint) * h as px
 from read_parquet('{imgdup["corpus"]}')
@@ -2286,6 +2309,7 @@ order by image_id
         "image_dedup_keep": image_keep_sql,
         "image_keep_best": image_keep_best_sql,
         "image_exact_dedup": image_exact_sql,
+        "image_caption_dedup": image_caption_sql,
         "image_curate": image_curate_sql,
     }
 

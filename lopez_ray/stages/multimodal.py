@@ -314,23 +314,27 @@ def image_dedup_keep(
     return sizes.map_batches(finish, batch_format="pyarrow")
 
 
-def image_exact_dedup(corpus_ds, batch_size: int = 64):
+def image_exact_dedup(corpus_ds, batch_size: int = 64, key_col: str = "bytes"):
     """EXACT image dedup — keep the lexically-least image_id per
-    byte-identical payload group. The cheap first rung of the image
-    dedup ladder (before perceptual hashing): re-crawled and hot-linked
-    copies of the same file are byte-equal, so a 128-bit MD5 over the
-    raw payload collapses them without decoding a single pixel.
+    identical-``key_col`` group. With the default ``key_col="bytes"``
+    this is the cheap first rung of the image dedup ladder (before
+    perceptual hashing): re-crawled and hot-linked copies of the same
+    file are byte-equal, so a 128-bit MD5 over the raw payload
+    collapses them without decoding a single pixel. With
+    ``key_col="caption"`` it is the cross-modal variant — alt-text
+    reuse marks re-posts whose pixels were re-encoded (the fixture's
+    near-dups share their source's caption but not its bytes).
 
-    Same shuffle shape as the text ``exact_dedup``: hash the payload
-    inside ``map_batches`` (binary column, never leaves the task), drop
-    the payload, then ONE partitioned reduce keyed on (ch_lo, ch_hi)
-    computing (min image_id, group size). Output:
-    (keeper_id, n_copies) — one row per distinct payload."""
+    Same shuffle shape as the text ``exact_dedup``: hash the key
+    inside ``map_batches`` (payload never leaves the task), drop
+    everything but the id + hash, then ONE partitioned reduce keyed on
+    (ch_lo, ch_hi) computing (min image_id, group size). Output:
+    (keeper_id, n_copies) — one row per distinct key."""
     from .dedup import add_content_hash128
     from .shuffle import partitioned_reduce
 
     hashed = corpus_ds.map_batches(
-        lambda b: add_content_hash128(b, "bytes").select(
+        lambda b: add_content_hash128(b, key_col).select(
             ["image_id", "ch_lo", "ch_hi"]
         ),
         batch_format="pyarrow",

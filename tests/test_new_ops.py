@@ -64,6 +64,32 @@ def test_image_exact_dedup_byte_groups(ray_session):
         )
 
 
+def test_image_caption_dedup_groups(ray_session):
+    """Caption-keyed dedup must equal grouping by the caption string,
+    and caption groups must COARSEN byte groups: near-dups inherit
+    their source's caption with different bytes, so there are strictly
+    fewer caption groups than byte groups on this fixture."""
+    import ray.data as rd
+
+    from lopez_ray.fixtures.imgdup import generate_image_dups
+    from lopez_ray.stages.multimodal import image_exact_dedup
+
+    paths = generate_image_dups()
+    got = image_exact_dedup(
+        rd.read_parquet(paths["corpus"], columns=["image_id", "caption"]),
+        key_col="caption",
+    ).to_pandas()
+    got_set = {(k, int(n)) for k, n in zip(got["keeper_id"], got["n_copies"])}
+
+    t = pq.read_table(paths["corpus"], columns=["image_id", "caption", "bytes"])
+    by_cap: dict[str, list[str]] = {}
+    for iid, cap in zip(t["image_id"].to_pylist(), t["caption"].to_pylist()):
+        by_cap.setdefault(cap, []).append(iid)
+    assert got_set == {(min(v), len(v)) for v in by_cap.values()}
+    n_byte_groups = len(set(t["bytes"].to_pylist()))
+    assert len(got_set) < n_byte_groups
+
+
 def test_image_curate_matches_stored_dims(ray_session):
     """Size/aspect keepers decided on DECODED dims must equal the
     stored-metadata filter (generator guarantees stored == decoded),

@@ -160,6 +160,22 @@ def main() -> None:
     rows["dedup_exact"] = exact_dedup(read()).count()
     stages["dedup_exact"] = round(time.perf_counter() - t0, 2)
 
+    # corpus token frequency: combiner-first wordcount + document-
+    # frequency boilerplate 5-grams (the new round-4 text ops) — the
+    # combiner keeps the shuffle at one row per distinct gram per
+    # batch, so these must stay near-linear in corpus bytes
+    from lopez_ray.stages.text import token_ngram_counts
+
+    t0 = time.perf_counter()
+    rows["vocab"] = token_ngram_counts(read(), n=1).count()
+    stages["vocab"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rows["boilerplate_ngrams"] = token_ngram_counts(
+        read(), n=5, per_doc_distinct=True, min_count=2
+    ).count()
+    stages["boilerplate_ngrams"] = round(time.perf_counter() - t0, 2)
+
     t0 = time.perf_counter()
     mh_pairs = minhash_dedup_pairs(read(), threshold=0.5)
     rows["minhash_pairs"] = mh_pairs.num_rows

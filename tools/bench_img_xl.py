@@ -216,6 +216,45 @@ def main() -> None:
             f"keeper group sizes sum to {absorbed}, expected {rows['sigs']}"
         )
 
+    from lopez_ray.stages.multimodal import image_dedup_keep_best, image_exact_dedup
+
+    # exact byte dedup (no decode): the cheap first rung — the planted
+    # exact copies + the hot cluster must all collapse
+    t0 = time.perf_counter()
+    exact_ds = image_exact_dedup(read(), batch_size=256)
+    n_groups = 0
+    exact_absorbed = 0
+    for b in exact_ds.iter_batches(batch_format="pyarrow"):
+        n_groups += b.num_rows
+        exact_absorbed += int(pc.sum(b["n_copies"]).as_py() or 0)
+    rows["image_exact_dedup"] = n_groups
+    stages["image_exact_dedup"] = round(time.perf_counter() - t0, 2)
+    if exact_absorbed != args.images:
+        raise AssertionError(
+            f"exact-dedup copies sum to {exact_absorbed}, expected {args.images}"
+        )
+    if n_groups >= args.images:  # the planted copies must have collapsed
+        raise AssertionError("exact dedup found zero byte-duplicate groups")
+
+    # best-copy keepers: same cluster structure as image_dedup_keep,
+    # argmax-by-px keeper — cluster count and size-sum must agree
+    t0 = time.perf_counter()
+    best_ds = image_dedup_keep_best(
+        read(), max_hamming=args.hamming, batch_size=256, concurrency=conc
+    )
+    n_best = 0
+    best_absorbed = 0
+    for b in best_ds.iter_batches(batch_format="pyarrow"):
+        n_best += b.num_rows
+        best_absorbed += int(pc.sum(b["group_size"]).as_py() or 0)
+    rows["image_keep_best"] = n_best
+    stages["image_keep_best"] = round(time.perf_counter() - t0, 2)
+    if n_best != n_keepers or best_absorbed != rows["sigs"]:
+        raise AssertionError(
+            f"keep_best clusters {n_best}/{best_absorbed} disagree with "
+            f"keep {n_keepers}/{rows['sigs']}"
+        )
+
     total = round(sum(stages.values()) - stages["gen"], 2)
     print(
         json.dumps(
