@@ -53,24 +53,30 @@ def brute_force_topk(
     q_ref = ray.put(q)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # argpartition(kth=-1) on an empty axis raises (same guard
+            # as ivf_search's partial)
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         qm = ray.get(q_ref)
         vecs = vecs_of(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = _normalize(vecs) @ qm.T  # (n, nq)
         nq = qm.shape[0]
         kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        rows = {"query_idx": [], id_col: [], "score": []}
-        for qi in range(nq):
-            for r in top[:, qi]:
-                rows["query_idx"].append(qi)
-                rows[id_col].append(int(ids[r]))
-                rows["score"].append(float(sims[r, qi]))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        scores = np.take_along_axis(sims, top, axis=0)
+        qidx = np.broadcast_to(np.arange(nq, dtype=np.int32), (kk, nq))
         return pa.table(
             {
-                "query_idx": pa.array(rows["query_idx"], pa.int32()),
-                id_col: pa.array(rows[id_col], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
+                "query_idx": pa.array(qidx.ravel(), pa.int32()),
+                id_col: pa.array(ids[top].ravel(), pa.int64()),
+                "score": pa.array(scores.ravel(), pa.float64()),
             }
         )
 
