@@ -216,6 +216,8 @@ def token_ngram_counts(
     per_doc_distinct: bool = False,
     min_count: int = 1,
     text_col: str = "text",
+    hash_prefilter: bool | None = None,
+    prefilter_max_keys: int = 5_000_000,
 ):
     """Corpus-wide token / token-n-gram frequency — the canonical
     wordcount, shaped for scale: each ``map_batches`` task tokenizes its
@@ -233,6 +235,19 @@ def token_ngram_counts(
     identical to the stats/fingerprint stages (and replicated in the
     DuckDB oracles via regexp_extract_all).
 
+    ``hash_prefilter`` (default: auto — on when ``min_count >= 2``)
+    addresses the scale wall of boilerplate-style queries, where most
+    grams are singletons destined to be filtered: pass 1 ships only
+    (gh:int64, cnt) rows — no strings — to find hashes with total count
+    ≥ min_count; the (small) survivor-hash set is broadcast once via
+    ``ray.put`` and pass 2 re-tokenizes, shipping strings ONLY for
+    grams whose hash survived (the same re-tokenize-over-the-filtered-
+    set trade the minhash verify gate measured as a win). EXACT either
+    way: a hash collision can only admit an extra gram into pass 2, and
+    the final reduce still groups by the string and re-applies
+    min_count. If survivors exceed ``prefilter_max_keys`` (broadcast
+    would stop being small), it falls back to the one-pass path.
+
     Returns a Dataset of (token, cnt) rows [n=1] or (gram, cnt) rows
     [n>1] — cnt is occurrences or document frequency per the flag."""
     import pandas as pd
@@ -242,8 +257,13 @@ def token_ngram_counts(
 
     col = "token" if n == 1 else "gram"
     token_re = re.compile(TOKEN_RE)
+    if hash_prefilter is None:
+        hash_prefilter = min_count >= 2
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def _gram_counts(batch: pa.Table):
+        """(keys: object ndarray, counts: int64 ndarray, gh: int64
+        ndarray) of the batch's distinct grams — the shared tokenize +
+        local-combine pass."""
         grams: list[str] = []
         for text in batch[text_col].to_pylist():
             toks = token_re.findall(text.lower()) if text else []
@@ -258,25 +278,20 @@ def token_ngram_counts(
                 doc_grams = set(doc_grams)
             grams.extend(doc_grams)
         if not grams:
-            return pa.table(
-                {
-                    "gh": pa.array([], pa.int64()),
-                    col: pa.array([], pa.string()),
-                    "cnt": pa.array([], pa.int64()),
-                }
-            )
+            return None, None, None
         vc = pd.Series(grams).value_counts()
         keys = vc.index.to_numpy(dtype=object)
         gh = md5_u64_batch([k.encode() for k in keys]).view(np.int64)
+        return keys, vc.to_numpy().astype(np.int64), gh
+
+    def _empty() -> pa.Table:
         return pa.table(
             {
-                "gh": pa.array(gh, pa.int64()),
-                col: pa.array(keys, pa.string()),
-                "cnt": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+                "gh": pa.array([], pa.int64()),
+                col: pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
             }
         )
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def combine(g):
         out = g.groupby(["gh", col], as_index=False).agg(cnt=("cnt", "sum"))
@@ -284,7 +299,85 @@ def token_ngram_counts(
             out = out[out["cnt"] >= min_count]
         return out
 
-    red = partitioned_reduce(partials, ["gh"], combine)
-    return red.map_batches(
-        lambda b: b.select([col, "cnt"]), batch_format="pyarrow"
+    def _finish(red):
+        return red.map_batches(
+            lambda b: b.select([col, "cnt"]), batch_format="pyarrow"
+        )
+
+    def _one_pass():
+        def partial(batch: pa.Table) -> pa.Table:
+            keys, cnts, gh = _gram_counts(batch)
+            if keys is None:
+                return _empty()
+            return pa.table(
+                {
+                    "gh": pa.array(gh, pa.int64()),
+                    col: pa.array(keys, pa.string()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            )
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        return _finish(partitioned_reduce(partials, ["gh"], combine))
+
+    if not hash_prefilter or min_count < 2:
+        return _one_pass()
+
+    import ray
+
+    # pass 1: hash-only counts (16 B/row vs strings), reduce to the
+    # survivor-hash set
+    def partial_hashes(batch: pa.Table) -> pa.Table:
+        keys, cnts, gh = _gram_counts(batch)
+        if keys is None:
+            return pa.table(
+                {"gh": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"gh": pa.array(gh, pa.int64()), "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    hash_partials = ds.map_batches(partial_hashes, batch_format="pyarrow")
+    survivors_ds = partitioned_reduce(
+        hash_partials,
+        ["gh"],
+        lambda g: g.groupby("gh", as_index=False)
+        .agg(cnt=("cnt", "sum"))
+        .query(f"cnt >= {int(min_count)}")[["gh"]],
     )
+    chunks = []
+    n_surv = 0
+    for b in survivors_ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            chunks.append(b["gh"].to_numpy(zero_copy_only=False))
+            n_surv += b.num_rows
+        if n_surv > prefilter_max_keys:
+            # survivor set too large to broadcast — the prefilter can't
+            # pay for itself; run the exact one-pass path instead
+            return _one_pass()
+    allowed = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    allowed_ref = ray.put(allowed)
+
+    # pass 2: strings only for surviving hashes
+    def partial_filtered(batch: pa.Table) -> pa.Table:
+        keys, cnts, gh = _gram_counts(batch)
+        if keys is None:
+            return _empty()
+        al = ray.get(allowed_ref)
+        pos = np.searchsorted(al, gh)
+        pos[pos == len(al)] = 0
+        keep = (
+            (al[pos] == gh) if len(al) else np.zeros(len(gh), dtype=bool)
+        )
+        if not keep.any():
+            return _empty()
+        return pa.table(
+            {
+                "gh": pa.array(gh[keep], pa.int64()),
+                col: pa.array(keys[keep], pa.string()),
+                "cnt": pa.array(cnts[keep], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_filtered, batch_format="pyarrow")
+    return _finish(partitioned_reduce(partials, ["gh"], combine))

@@ -196,6 +196,43 @@ def test_token_ngram_counts_exact(ray_session):
     assert bi_counts["the cat"] == 2
 
 
+def test_token_prefilter_path_identical(ray_session):
+    """The hash-prefilter two-pass path (default for min_count >= 2)
+    must be output-identical to the exact one-pass path, including when
+    the survivor set is empty and when the max-keys gate forces the
+    fallback."""
+    import ray.data as rd
+
+    from lopez_ray.stages.text import token_ngram_counts
+
+    docs = [
+        {"doc_id": i, "text": f"alpha beta gamma delta epsilon doc{i} "
+                              f"alpha beta gamma delta epsilon tail{i % 3}"}
+        for i in range(40)
+    ]
+    ds = rd.from_items(docs)
+    kw = dict(n=5, per_doc_distinct=True, min_count=2)
+
+    two_pass = token_ngram_counts(ds, **kw, hash_prefilter=True).to_pandas()
+    one_pass = token_ngram_counts(ds, **kw, hash_prefilter=False).to_pandas()
+    a = sorted(zip(two_pass["gram"], two_pass["cnt"]))
+    b = sorted(zip(one_pass["gram"], one_pass["cnt"]))
+    assert a == b and len(a) > 0
+
+    # max-keys gate: force the broadcast fallback; still identical
+    gated = token_ngram_counts(
+        ds, **kw, hash_prefilter=True, prefilter_max_keys=1
+    ).to_pandas()
+    assert sorted(zip(gated["gram"], gated["cnt"])) == b
+
+    # empty survivor set: every 5-gram unique -> empty output, no crash
+    uniq = rd.from_items(
+        [{"doc_id": i, "text": f"u{i} v{i} w{i} x{i} y{i} z{i}"} for i in range(8)]
+    )
+    empty = token_ngram_counts(uniq, **kw, hash_prefilter=True).to_pandas()
+    assert len(empty) == 0
+
+
 def test_token_counts_empty_and_null_text(ray_session):
     """Null / empty / sub-n documents contribute nothing (and must not
     crash the combiner)."""
