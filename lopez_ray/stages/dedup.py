@@ -68,29 +68,45 @@ def add_content_hash128(batch: pa.Table, col: str = "text") -> pa.Table:
     expects >1 collision (and exact dedup on a collided key silently
     merges distinct documents). ``col`` may be a string column (text
     dedup) or a binary one (image-payload exact dedup): bytes hash
-    as-is, strings hash their UTF-8 encoding."""
+    as-is, strings hash their UTF-8 encoding.
+
+    NULL is its own group, distinct from ''/b'': present values are
+    domain-separated with a \\x01 prefix and nulls hash a bare \\x00,
+    which no present preimage can produce — matching SQL GROUP BY
+    semantics (all NULLs together, apart from the empty string), so
+    the value-grouping oracles stay exact on corpora with nulls. The
+    hash is internal routing/grouping state only (every query drops
+    ch_lo/ch_hi before output), so the preimage is free to choose."""
     from ..hash import md5_u128_batch
 
     vals = batch[col].to_pylist()
     lo, hi = md5_u128_batch(
-        [v if isinstance(v, bytes) else (v.encode() if v else b"") for v in vals]
+        [
+            b"\x00"
+            if v is None
+            else b"\x01" + (v if isinstance(v, bytes) else v.encode())
+            for v in vals
+        ]
     )
     return batch.append_column(
         "ch_lo", pa.array(lo.view(np.int64), pa.int64())
     ).append_column("ch_hi", pa.array(hi.view(np.int64), pa.int64()))
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", batch_size=None):
     """Keep the min-id row per identical content. Returns a Dataset of
     (ch_lo, ch_hi, doc_id=min, n=group size) keyed by the 128-bit
     content hash. Distinct hashes are O(corpus), so the reduce is the
     partitioned C-speed shuffle (stages/shuffle.py), not a Ray
-    aggregate."""
+    aggregate. ``batch_size`` caps the hash task's batch (callers with
+    wide binary payload rows pass a small one)."""
     from .shuffle import partitioned_reduce
 
+    opts = {"batch_size": batch_size} if batch_size else {}
     hashed = ds.map_batches(
         lambda b: add_content_hash128(b, col).select([id_col, "ch_lo", "ch_hi"]),
         batch_format="pyarrow",
+        **opts,
     )
     return partitioned_reduce(
         hashed,

@@ -239,36 +239,34 @@ def image_near_dups(
     return both.map_batches(canon, batch_format="pyarrow")
 
 
-def image_dedup_keep(
+def _phash_cluster_members(
     corpus_ds,
-    max_hamming: int = 6,
-    batch_size: int = 64,
-    concurrency: int = 2,
+    max_hamming: int,
+    batch_size: int,
+    concurrency: int,
+    with_px: bool = False,
 ):
-    """The image KEEPER set after perceptual-hash near-dup clustering:
-    one row per duplicate cluster — (keeper_id, group_size) — where the
-    keeper is the lexically-least image_id in the connected component
-    of the hamming ≤ max_hamming pair graph and group_size is how many
-    images it absorbed (singletons keep themselves, size 1).
-
-    Composition: phash sigs → banded pairs on int64 kids → distributed
+    """Shared composition under both keeper variants: phash sigs →
+    banded pairs on int64 kids (``signature_near_dups``) → distributed
     connected components (stages/cc.py BSP label propagation) → labels
     left-joined to ALL images (partitioned join; singletons fill with
-    their own kid) → ONE partitioned reduce per group computing
-    (min(image_id), count). The component LABEL (hash-ordered kid min)
-    never reaches the output — group membership is label-invariant, so
-    the keeper is recomputed as the lexical min image_id, which a SQL
-    oracle reproduces without replicating the engine's key hash."""
+    their own kid). Returns a Dataset of (group_kid, image_id[, px])
+    rows — one per decodable image, labeled with its cluster. The
+    component LABEL (hash-ordered kid min) is routing state only; the
+    keeper variants recompute their keeper from the members, which is
+    what lets SQL oracles reproduce them without the engine's key
+    hash. One decode pass: sigs are materialized before the
+    multi-branch fan-out (pairs + join-back)."""
     import pyarrow.compute as pc
 
     from .cc import connected_components
     from .dedup import signature_near_dups
-    from .shuffle import partitioned_lookup_join, partitioned_reduce
+    from .shuffle import partitioned_lookup_join
 
-    # same multi-branch fan-out as image_near_dups: one decode pass
     sigs = image_phash_sigs(corpus_ds, batch_size, concurrency).materialize()
+    map_cols = ["kid", "image_id"] + (["px"] if with_px else [])
     mapping = sigs.map_batches(
-        lambda b: b.select(["kid", "image_id"]), batch_format="pyarrow"
+        lambda b: b.select(map_cols), batch_format="pyarrow"
     )
     pairs = signature_near_dups(
         sigs.map_batches(
@@ -292,9 +290,32 @@ def image_dedup_keep(
         gid = pc.coalesce(
             b["group_kid"].cast(pa.int64()), b["kid"].cast(pa.int64())
         )
-        return pa.table({"group_kid": gid, "image_id": b["image_id"]})
+        cols = {"group_kid": gid, "image_id": b["image_id"]}
+        if with_px:
+            cols["px"] = b["px"].cast(pa.int64())
+        return pa.table(cols)
 
-    grouped = joined.map_batches(with_group, batch_format="pyarrow")
+    return joined.map_batches(with_group, batch_format="pyarrow")
+
+
+def image_dedup_keep(
+    corpus_ds,
+    max_hamming: int = 6,
+    batch_size: int = 64,
+    concurrency: int = 2,
+):
+    """The image KEEPER set after perceptual-hash near-dup clustering:
+    one row per duplicate cluster — (keeper_id, group_size) — where the
+    keeper is the lexically-least image_id in the connected component
+    of the hamming ≤ max_hamming pair graph and group_size is how many
+    images it absorbed (singletons keep themselves, size 1).
+    ``_phash_cluster_members`` + ONE partitioned reduce per group
+    computing (min(image_id), count)."""
+    from .shuffle import partitioned_reduce
+
+    grouped = _phash_cluster_members(
+        corpus_ds, max_hamming, batch_size, concurrency
+    )
 
     def combine(g):
         return g.groupby("group_kid", as_index=False).agg(
@@ -325,33 +346,22 @@ def image_exact_dedup(corpus_ds, batch_size: int = 64, key_col: str = "bytes"):
     reuse marks re-posts whose pixels were re-encoded (the fixture's
     near-dups share their source's caption but not its bytes).
 
-    Same shuffle shape as the text ``exact_dedup``: hash the key
-    inside ``map_batches`` (payload never leaves the task), drop
-    everything but the id + hash, then ONE partitioned reduce keyed on
-    (ch_lo, ch_hi) computing (min image_id, group size). Output:
-    (keeper_id, n_copies) — one row per distinct key."""
-    from .dedup import add_content_hash128
-    from .shuffle import partitioned_reduce
+    THE text ``exact_dedup`` (stages/dedup.py), not a copy of it: the
+    payload is hashed inside ``map_batches`` (never leaves the task),
+    then ONE partitioned reduce keyed on the 128-bit content hash
+    computes (min image_id, group size); this wrapper only re-projects
+    to the image-family column names. Output: (keeper_id, n_copies) —
+    one row per distinct key."""
+    from .dedup import exact_dedup
 
-    hashed = corpus_ds.map_batches(
-        lambda b: add_content_hash128(b, key_col).select(
-            ["image_id", "ch_lo", "ch_hi"]
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
+    dedup = exact_dedup(
+        corpus_ds, col=key_col, id_col="image_id", batch_size=batch_size
     )
-    red = partitioned_reduce(
-        hashed,
-        ["ch_lo", "ch_hi"],
-        lambda g: g.groupby(["ch_lo", "ch_hi"], as_index=False).agg(
-            keeper_id=("image_id", "min"), n_copies=("image_id", "size")
-        ),
-    )
-    return red.map_batches(
+    return dedup.map_batches(
         lambda b: pa.table(
             {
-                "keeper_id": b["keeper_id"],
-                "n_copies": b["n_copies"].cast(pa.int64()),
+                "keeper_id": b["image_id"],
+                "n_copies": b["n"].cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -386,24 +396,29 @@ def image_curate(
     decoded = corpus_ds.map_batches(DecodeStage, **opts)
 
     def keep(batch: pa.Table) -> pa.Table:
-        b = batch.filter(batch["decode_ok"])
-        w = b["dec_w"].cast(pa.int64())
-        h = b["dec_h"].cast(pa.int64())
+        # ONE mask, ONE filter: decode_ok ∧ dims gates together
+        # (and_kleene: failed decodes have null dims → null dims_ok,
+        # which Kleene-ands with decode_ok=false to false)
+        w = batch["dec_w"].cast(pa.int64())
+        h = batch["dec_h"].cast(pa.int64())
         mn = pc.min_element_wise(w, h)
         mx = pc.max_element_wise(w, h)
-        mask = pc.and_(
+        dims_ok = pc.and_(
             pc.greater_equal(mn, pa.scalar(min_side, pa.int64())),
-            pc.less_equal(mx, pc.multiply(mn, pa.scalar(max_aspect_num, pa.int64()))),
+            pc.less_equal(
+                mx, pc.multiply(mn, pa.scalar(max_aspect_num, pa.int64()))
+            ),
         )
-        b = b.filter(mask)
-        w = b["dec_w"].cast(pa.int64())
-        h = b["dec_h"].cast(pa.int64())
+        mask = pc.fill_null(
+            pc.and_kleene(batch["decode_ok"], dims_ok), False
+        )
+        b = batch.append_column("px", pc.multiply(w, h)).filter(mask)
         return pa.table(
             {
                 "image_id": b["image_id"],
                 "dec_w": b["dec_w"].cast(pa.int32()),
                 "dec_h": b["dec_h"].cast(pa.int32()),
-                "px": pc.multiply(w, h),
+                "px": b["px"],
             }
         )
 
@@ -423,51 +438,15 @@ def image_dedup_keep_best(
     by re-encodes and thumbnails should keep the original, and pixel
     count is the standard proxy.
 
-    Same composition as ``image_dedup_keep`` (one decode pass → banded
-    pairs → connected components → label join-back), but the final
+    Same composition as ``image_dedup_keep``
+    (``_phash_cluster_members`` with px riding along), but the final
     per-group reduce sorts (px desc, image_id asc) and takes the first
     row. Output: (keeper_id, keeper_px, group_size)."""
-    import pyarrow.compute as pc
+    from .shuffle import partitioned_reduce
 
-    from .cc import connected_components
-    from .dedup import signature_near_dups
-    from .shuffle import partitioned_lookup_join, partitioned_reduce
-
-    sigs = image_phash_sigs(corpus_ds, batch_size, concurrency).materialize()
-    mapping = sigs.map_batches(
-        lambda b: b.select(["kid", "image_id", "px"]), batch_format="pyarrow"
+    grouped = _phash_cluster_members(
+        corpus_ds, max_hamming, batch_size, concurrency, with_px=True
     )
-    pairs = signature_near_dups(
-        sigs.map_batches(
-            lambda b: b.select(["kid", "phash"]), batch_format="pyarrow"
-        ),
-        max_hamming,
-        id_col="kid",
-        sig_col="phash",
-    )
-    labels = connected_components(
-        pairs.map_batches(
-            lambda b: b.select(["a", "b"]), batch_format="pyarrow"
-        )
-    ).map_batches(
-        lambda b: b.rename_columns(["kid", "group_kid"]),
-        batch_format="pyarrow",
-    )
-    joined = partitioned_lookup_join(mapping, labels, ["kid"], how="left")
-
-    def with_group(b: pa.Table) -> pa.Table:
-        gid = pc.coalesce(
-            b["group_kid"].cast(pa.int64()), b["kid"].cast(pa.int64())
-        )
-        return pa.table(
-            {
-                "group_kid": gid,
-                "image_id": b["image_id"],
-                "px": b["px"].cast(pa.int64()),
-            }
-        )
-
-    grouped = joined.map_batches(with_group, batch_format="pyarrow")
 
     def combine(g):
         g = g.sort_values(

@@ -90,6 +90,46 @@ def test_image_caption_dedup_groups(ray_session):
     assert len(got_set) < n_byte_groups
 
 
+def test_exact_dedup_null_is_not_empty(ray_session):
+    """SQL GROUP BY semantics for the content-hash key: NULL is one
+    group of its own, DISTINCT from ''/b'' (regression for the
+    \\x00/\\x01 domain-separated preimage — previously both hashed
+    b'' and silently merged)."""
+    import ray.data as rd
+
+    from lopez_ray.stages.dedup import exact_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["", None, "", None, "x"], pa.string()),
+        }
+    )
+    out = (
+        exact_dedup(rd.from_arrow(tbl), col="text", id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = {(int(r.doc_id), int(r.n)) for r in out.itertuples()}
+    # '' group keeps doc 0 (n=2), NULL group keeps doc 1 (n=2), 'x' doc 4
+    assert got == {(0, 2), (1, 2), (4, 1)}
+
+    # binary column: b'' vs NULL likewise distinct
+    btbl = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c"], pa.string()),
+            "bytes": pa.array([b"", None, b""], pa.binary()),
+        }
+    )
+    from lopez_ray.stages.multimodal import image_exact_dedup
+
+    bout = image_exact_dedup(rd.from_arrow(btbl)).to_pandas()
+    assert {(k, int(n)) for k, n in zip(bout.keeper_id, bout.n_copies)} == {
+        ("a", 2),
+        ("b", 1),
+    }
+
+
 def test_image_curate_matches_stored_dims(ray_session):
     """Size/aspect keepers decided on DECODED dims must equal the
     stored-metadata filter (generator guarantees stored == decoded),
