@@ -1383,13 +1383,12 @@ def q_crawl_bfs(sf_dir: str):
     return read_table(status_path).sort_by("page_id")
 
 
-def q_crawl_image_dedup(sf_dir: str):
-    """The north-star composition end to end: FETCH + DEDUPE over the
-    image+caption corpus. Runs the flagship crawl (same seed list +
-    politeness budget as ``crawl_bfs``), takes the pages it actually
-    closed with HTTP 200, resolves their image payloads, and collapses
-    the fetched images into perceptual-hash duplicate clusters —
-    emitting the keeper set (lexical-min image_id, cluster size).
+def _fetched_image_corpus(sf_dir: str):
+    """Shared front half of the north-star compositions: run the
+    flagship crawl (same seed list + politeness budget as
+    ``crawl_bfs``), take the pages it actually closed with HTTP 200,
+    and resolve their image payloads. Returns the fetched-corpus
+    Dataset (image_id, bytes, fmt).
 
     Shuffle discipline: the fetched-URL and fetched-image key sets are
     int64 md5 keys, broadcast ONCE via ray.put and applied as
@@ -1397,19 +1396,12 @@ def q_crawl_image_dedup(sf_dir: str):
     ``LOPEZ_BROADCAST_MAX_ROWS`` (they are key sets, not payloads);
     above the gate both hops fall back to ``partitioned_lookup_join``
     — payload bytes then transit the exchange exactly once. Decode and
-    the banded pair search only ever see FETCHED images.
-
-    Oracle: the independent single-process crawl sim's status table
-    (crawler/sim_oracle.py) joined to the fixture's web + corpus
-    ground truth, with the same recursive-CTE closure as
-    ``image_dedup_keep`` — so the oracle checks the crawl's fetched
-    set AND the dedup clustering in one hash."""
+    the banded pair search only ever see FETCHED images."""
     import ray
     import ray.data as rd
 
     from ..fixtures.gen import generate
     from ..hash import md5_u64_batch
-    from ..stages.multimodal import image_dedup_keep
     from ..stages.shuffle import partitioned_lookup_join
 
     q_crawl_bfs(sf_dir)  # ensure the crawl ran (idempotent)
@@ -1515,8 +1507,35 @@ def q_crawl_image_dedup(sf_dir: str):
     corpus = rd.read_parquet(
         paths["corpus"], columns=["image_id", "bytes", "fmt"]
     )
-    fetched_corpus = _semi_filter(corpus, "image_id", img_keys)
-    return image_dedup_keep(fetched_corpus, max_hamming=6)
+    return _semi_filter(corpus, "image_id", img_keys)
+
+
+def q_crawl_image_dedup(sf_dir: str):
+    """The north-star composition end to end: FETCH + DEDUPE over the
+    image+caption corpus — ``_fetched_image_corpus`` collapsed into
+    perceptual-hash duplicate clusters, emitting the keeper set
+    (lexical-min image_id, cluster size).
+
+    Oracle: the independent single-process crawl sim's status table
+    (crawler/sim_oracle.py) joined to the fixture's web + corpus
+    ground truth, with the same recursive-CTE closure as
+    ``image_dedup_keep`` — so the oracle checks the crawl's fetched
+    set AND the dedup clustering in one hash."""
+    from ..stages.multimodal import image_dedup_keep
+
+    return image_dedup_keep(_fetched_image_corpus(sf_dir), max_hamming=6)
+
+
+def q_crawl_image_keep_best(sf_dir: str):
+    """The north-star composition with the BEST-COPY keeper rule:
+    fetched images → phash clusters → keep the highest-resolution
+    member per cluster (ties → lexical-min image_id). Same independent
+    crawl-sim oracle as ``crawl_image_dedup`` with the window-argmax
+    tail on stored w·h — one hash checks fetch + clustering + the
+    keeper choice together."""
+    from ..stages.multimodal import image_dedup_keep_best
+
+    return image_dedup_keep_best(_fetched_image_corpus(sf_dir), max_hamming=6)
 
 
 def q_crawl_pagerank(sf_dir: str):
@@ -2055,6 +2074,7 @@ QUERIES = {
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_image_dedup": q_crawl_image_dedup,
+    "crawl_image_keep_best": q_crawl_image_keep_best,
     "multimodal_decode": q_multimodal_decode,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
@@ -2194,7 +2214,8 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         "select page_id, rank "
         f"from read_parquet('{arts['pagerank']}') order by page_id"
     )
-    crawl_img_source = f"""fetched as (
+    def crawl_img_source(extra_cols: str = "") -> str:
+        return f"""fetched as (
   select distinct w.image_id
   from read_parquet('{arts['status']}') s
   join read_parquet('{paths['web']}') w on s.url = w.url
@@ -2202,16 +2223,19 @@ def _crawl_oracle_sqls() -> dict[str, str]:
     and w.image_id is not null
 ),
 c as (
-  select c0.image_id, c0.phash
+  select c0.image_id, c0.phash{extra_cols}
   from read_parquet('{paths['corpus']}') c0
   join fetched using (image_id)
 )"""
-    crawl_img_sql = _phash_keeper_closure_sql(crawl_img_source)
+
+    crawl_img_sql = _phash_keeper_closure_sql(crawl_img_source())
+    crawl_keep_best_sql = _phash_keep_best_sql(crawl_img_source(", c0.w, c0.h"))
     return {
         "crawl_bfs": status_sql,
         "crawl_pagerank": rank_sql,
         "pagerank_distributed": rank_sql,
         "crawl_image_dedup": crawl_img_sql,
+        "crawl_image_keep_best": crawl_keep_best_sql,
     }
 
 

@@ -81,7 +81,7 @@ def _oracled_names():
         "analyze_rules", "multimodal_decode", "video_frames", "audio_features",
         "image_dedup", "image_dedup_keep", "crawl_image_dedup",
         "image_keep_best", "image_exact_dedup", "image_curate",
-        "image_caption_dedup",
+        "image_caption_dedup", "crawl_image_keep_best",
         # planted-fixture oracles (missing here pre-round-4: the drift
         # guard below now makes this list enforce itself)
         "ann_ivf", "embedding_dups",
