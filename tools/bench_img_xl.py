@@ -15,6 +15,9 @@ Timed stages (32 CPUs default):
 - decode+phash signature pass (the per-image compute wall)
 - image_dedup pairs   (banded hamming <= 6 over recomputed phash)
 - image_dedup_keep    (pairs -> connected components -> keeper set)
+- image_exact_dedup   (byte-identical payload groups, no decode)
+- image_keep_best     (max-px keeper per cluster; count + size-sum
+                       asserted equal to image_dedup_keep's)
 
 Prints ONE JSON line:
   {"metric": "img-xl pipelines wall (N images, excl. gen)", ...,
