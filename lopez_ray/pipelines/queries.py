@@ -468,6 +468,87 @@ from ordered group by user_id
 """
 
 
+def q_events_asof(sf_dir: str):
+    """Distributed AS-OF JOIN: for every 'click' event, the most recent
+    'view' by the same user at or before the click. Both sides ride ONE
+    hash-partitioned shuffle on user_id (whole key-groups per
+    partition), then each partition runs a single vectorized
+    ``pd.merge_asof`` (sort by ts + backward merge keyed by user_id) —
+    the classic sorted-merge as-of, no per-user Python. Clicks with no
+    prior view emit view_ts_us = -1 (typed sentinel on both sides: a
+    nullable int64 round-trips as float64 through pandas and would
+    hash-drift against the oracle's NULL).
+
+    Output is the matched view's TIMESTAMP (deterministic under
+    duplicate view timestamps — any tie has the same ts), not its
+    payload, which would be ambiguous under ties."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    # prune to the two participating types at the read side — nothing
+    # else crosses the shuffle
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"], pa.array(["click", "view"]))),
+        batch_format="pyarrow",
+    )
+
+    def _epoch_us(s: pd.Series) -> np.ndarray:
+        # explicit unit pin: pyarrow may hand back ns- or us-resolution
+        # datetimes depending on version; epoch_us must mean µs
+        return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"]
+        if not len(clicks):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "view_ts_us": pd.Series([], dtype="int64"),
+                }
+            )
+        views = g[g["event_type"] == "view"]
+        clicks = clicks.sort_values("ts", kind="stable")
+        views = views.sort_values("ts", kind="stable")
+        m = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            views[["user_id", "ts"]].rename(columns={"ts": "view_ts"}),
+            left_on="ts",
+            right_on="view_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        matched = m["view_ts"].notna().to_numpy()
+        view_us = np.full(len(m), -1, dtype=np.int64)
+        if matched.any():
+            view_us[matched] = _epoch_us(m["view_ts"][matched])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "ts_us": _epoch_us(m["ts"]),
+                "view_ts_us": view_us,
+            }
+        )
+
+    return partitioned_reduce(ds, ["user_id"], asof)
+
+
+SQL_EVENTS_ASOF = """
+select c.event_id,
+       cast(c.user_id as bigint) as user_id,
+       epoch_us(c.ts) as ts_us,
+       coalesce(epoch_us(v.ts), -1) as view_ts_us
+from (select * from events where event_type = 'click') c
+asof left join (select * from events where event_type = 'view') v
+  on c.user_id = v.user_id and c.ts >= v.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational pipelines
 # ---------------------------------------------------------------------------
@@ -767,6 +848,67 @@ def q_top_orders(sf_dir: str):
 SQL_TOP_ORDERS = """
 select o_orderkey, o_custkey, round(o_totalprice, 6) as o_totalprice
 from orders order by o_totalprice desc, o_orderkey limit 10
+"""
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Per-GROUP top-k (the row_number() window): each customer's top-3
+    orders by (totalprice desc, orderkey asc). Scale shape: a per-batch
+    COMBINER prunes every batch to its local top-3 per customer before
+    the wire (global top-3 per key ⊆ union of per-batch top-3s, so the
+    prune is lossless), then ONE hash-partitioned shuffle on o_custkey
+    and a vectorized per-partition sort + cumcount assigns ranks — no
+    per-customer Python, no global sort."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _topk(df: pd.DataFrame, k: int = 3, with_rank: bool = False):
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        rk = df.groupby("o_custkey").cumcount() + 1
+        if with_rank:
+            df = df.assign(rk=rk.astype("int64"))
+        return df[rk <= k]
+
+    def combiner(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            _topk(b.to_pandas()), preserve_index=False
+        )
+
+    pruned = ds.map_batches(combiner, batch_format="pyarrow")
+    ranked = partitioned_reduce(
+        pruned, ["o_custkey"], lambda g: _topk(g, with_rank=True)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "o_totalprice": pc.round(b["o_totalprice"], ndigits=6),
+                "rk": b["rk"].cast(pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+select o_custkey, o_orderkey, round(o_totalprice, 6) as o_totalprice, rk
+from (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (
+           partition by o_custkey
+           order by o_totalprice desc, o_orderkey
+         ) as rk
+  from orders
+) where rk <= 3
 """
 
 
@@ -1940,6 +2082,22 @@ def q_image_keep_best(sf_dir: str):
     return image_dedup_keep_best(corpus, max_hamming=6)
 
 
+def q_image_format_stats(sf_dir: str):
+    """Per-format corpus inventory over the planted image corpus:
+    decode every payload (strict — the fixture is all decodable) and
+    aggregate per fmt: image count, total encoded bytes, total DECODED
+    pixels. The oracle sums the generator's stored w·h, so the pixel
+    sum is a whole-corpus decode-dims parity check in one aggregate."""
+    import ray.data as rd
+
+    from ..fixtures.imgdup import generate_image_dups
+    from ..stages.multimodal import image_format_stats
+
+    paths = generate_image_dups()
+    corpus = rd.read_parquet(paths["corpus"], columns=["image_id", "bytes", "fmt"])
+    return image_format_stats(corpus)
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus vocabulary with counts — the canonical wordcount over the
     documents table: per-batch combiner (one row per distinct token per
@@ -2000,6 +2158,78 @@ from grams group by g having count(*) >= 2
 """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Corpus TF-IDF headline terms: one tokenize pass computes term
+    frequency AND document frequency together (``token_tf_df`` — the
+    shuffle carries one (token, tf, df) partial per distinct token per
+    batch), score = tf · ln(N/df) with N from parquet FOOTER metadata
+    (no extra pass), global (score desc, token) order, top 100. The
+    score is rounded to 4dp on BOTH sides and the sort runs on the
+    ROUNDED value, so a last-ulp libm divergence between numpy and
+    DuckDB can't reorder the cut."""
+    from ..stages.text import token_tf_df
+
+    n_docs = _pq_rows(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", ["text"])
+    counts = token_tf_df(ds)
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tf * np.log(n_docs / df), 4)
+        return b.append_column("score", pa.array(s, pa.float64()))
+
+    scored = counts.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", "token"], descending=[True, False]).limit(100)
+
+
+SQL_TFIDF_TOPK = """
+with toks as (
+  select doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as token
+  from documents
+),
+agg as (
+  select token, count(*) as tf, count(distinct doc_id) as df
+  from toks group by token
+)
+select token, tf, df,
+       round(tf * ln((select count(*) from documents) / (df * 1.0)), 4) as score
+from agg
+order by score desc, token limit 100
+"""
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style document quality gates (Rae et al. 2021) in PURE
+    INTEGER arithmetic — word count band, mean-word-length band as
+    ``3·n ≤ Σlen ≤ 10·n``, symbol-to-word ratio as
+    ``10·(#+…) ≤ n`` — so the oracle mirrors every rule with zero
+    float-rounding surface. One vectorized pyarrow pass, no shuffle."""
+    from ..stages.text import gopher_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_stats, batch_format="pyarrow")
+
+
+SQL_GOPHER_QUALITY = """
+with g as (
+  select doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) as n_words,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]')) as sum_word_len,
+         len(regexp_extract_all(text, '#')) as n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.')) as n_ellipsis
+  from documents
+)
+select doc_id, n_words, sum_word_len, n_hash, n_ellipsis,
+       (n_words between 50 and 100000
+        and sum_word_len >= 3 * n_words
+        and sum_word_len <= 10 * n_words
+        and 10 * (n_hash + n_ellipsis) <= n_words) as keep
+from g
+"""
+
+
 def q_video_frames(sf_dir: str):
     """Video frame-sampling pipeline over the RAWV corpus: decode the
     container, uniformly sample N_SAMPLE frames per clip, emit per-frame
@@ -2055,10 +2285,12 @@ QUERIES = {
     "pretty": q_pretty,
     "events_window": q_events_window,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "suppliers_per_region": q_suppliers_per_region,
     "top_orders": q_top_orders,
+    "top_orders_per_cust": q_top_orders_per_cust,
     "parts_by_brand": q_parts_by_brand,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_norms": q_embedding_norms,
@@ -2083,9 +2315,12 @@ QUERIES = {
     "image_exact_dedup": q_image_exact_dedup,
     "image_caption_dedup": q_image_caption_dedup,
     "image_curate": q_image_curate,
+    "image_format_stats": q_image_format_stats,
     "image_keep_best": q_image_keep_best,
     "vocab_topk": q_vocab_topk,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "tfidf_topk": q_tfidf_topk,
+    "gopher_quality": q_gopher_quality,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -2126,6 +2361,10 @@ ORACLES = {
     "curate_neardup": _sql_curate_neardup(),
     "vocab_topk": SQL_VOCAB_TOPK,
     "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "events_asof": SQL_EVENTS_ASOF,
+    "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
 }
 
 
@@ -2324,6 +2563,14 @@ from read_parquet('{imgdup["corpus"]}')
 where least(w, h) >= 32 and greatest(w, h) <= 2 * least(w, h)
 order by image_id
 """
+    image_format_stats_sql = f"""
+select fmt,
+       count(*) as n_images,
+       cast(sum(octet_length(bytes)) as bigint) as total_bytes,
+       cast(sum(cast(w as bigint) * h) as bigint) as sum_px
+from read_parquet('{imgdup["corpus"]}')
+group by fmt order by fmt
+"""
     return {
         "analyze_rules": analyze_sql,
         "multimodal_decode": decode_sql,
@@ -2335,6 +2582,7 @@ order by image_id
         "image_exact_dedup": image_exact_sql,
         "image_caption_dedup": image_caption_sql,
         "image_curate": image_curate_sql,
+        "image_format_stats": image_format_stats_sql,
     }
 
 

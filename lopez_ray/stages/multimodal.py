@@ -497,3 +497,72 @@ def corpus_pipeline(corpus_ds, batch_size: int = 64, concurrency: int = 2):
         .map_batches(ImageFeatures, **opts)
         .drop_columns(["pixels", "bytes"])
     )
+
+
+def image_format_stats(corpus_ds, batch_size: int = 64, concurrency: int = 2):
+    """Per-FORMAT corpus inventory (the "what's in this 100 TB of
+    images" sweep): decode each payload, then aggregate per ``fmt`` —
+    image count, total encoded bytes, total DECODED pixels. The pixel
+    sum comes from the decoder, not stored metadata, so the aggregate
+    doubles as a whole-corpus decode-dims parity check (the oracle sums
+    the generator's stored w·h).
+
+    Shuffle shape: per-batch pyarrow ``group_by`` combiner (one row per
+    format per batch crosses the wire — O(formats), bytes/pixels summed
+    locally) → tiny global groupby; format cardinality is O(10), so the
+    exchange is negligible at any corpus size."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    opts = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nbytes = pc.binary_length(
+            batch["bytes"].cast(pa.large_binary())
+        ).cast(pa.int64())
+        px = pc.multiply(
+            batch["dec_w"].cast(pa.int64()), batch["dec_h"].cast(pa.int64())
+        )
+        t = pa.table(
+            {
+                "fmt": batch["fmt"],
+                "n_images": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "total_bytes": nbytes,
+                "sum_px": px,
+            }
+        )
+        return t.group_by(["fmt"]).aggregate(
+            [("n_images", "sum"), ("total_bytes", "sum"), ("sum_px", "sum")]
+        )
+
+    decoded = corpus_ds.map_batches(
+        DecodeStage, fn_constructor_kwargs={"strict": True}, **opts
+    )
+    agg = (
+        decoded.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_images_sum", alias_name="n_images"),
+            Sum("total_bytes_sum", alias_name="total_bytes"),
+            Sum("sum_px_sum", alias_name="sum_px"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fmt": b["fmt"],
+                "n_images": b["n_images"].cast(pa.int64()),
+                "total_bytes": b["total_bytes"].cast(pa.int64()),
+                "sum_px": b["sum_px"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -381,3 +381,117 @@ def token_ngram_counts(
 
     partials = ds.map_batches(partial_filtered, batch_format="pyarrow")
     return _finish(partitioned_reduce(partials, ["gh"], combine))
+
+
+def token_tf_df(ds, text_col: str = "text"):
+    """Corpus term frequency AND document frequency in ONE pass — the
+    TF-IDF building block. Each ``map_batches`` task tokenizes its batch
+    (lowercased ``[a-z0-9_]+``, the vocab/boilerplate convention) and
+    locally combines BOTH counts: ``tf`` = total occurrences in the
+    batch, ``df`` = number of the batch's documents containing the
+    token (rows are whole documents, so per-batch df partials sum
+    exactly). ONE partitioned reduce keyed on a 64-bit md5 of the token
+    sums the partials; the md5 key only routes (the reduce groups by
+    the token string itself, so a hash collision cannot merge tokens).
+
+    Returns a Dataset of (token, tf, df) rows. Scale shape: the shuffle
+    carries one row per distinct token per batch — O(vocab), not
+    O(occurrences) — and the reduce output is vocab-sized."""
+    import pandas as pd
+
+    from ..hash import md5_u64_batch
+    from .shuffle import partitioned_reduce
+
+    token_re = re.compile(r"[a-z0-9_]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf: dict[str, int] = {}
+        df: dict[str, int] = {}
+        for text in batch[text_col].to_pylist():
+            toks = token_re.findall(text.lower()) if text else []
+            if not toks:
+                continue
+            doc_counts = pd.Series(toks).value_counts()
+            for tok, c in doc_counts.items():
+                tf[tok] = tf.get(tok, 0) + int(c)
+                df[tok] = df.get(tok, 0) + 1
+        keys = np.array(sorted(tf), dtype=object)
+        if not len(keys):
+            return pa.table(
+                {
+                    "gh": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        gh = md5_u64_batch([k.encode() for k in keys]).view(np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                "token": pa.array(keys, pa.string()),
+                "tf": pa.array([tf[k] for k in keys], pa.int64()),
+                "df": pa.array([df[k] for k in keys], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(g):
+        return g.groupby(["gh", "token"], as_index=False).agg(
+            tf=("tf", "sum"), df=("df", "sum")
+        )
+
+    red = partitioned_reduce(partials, ["gh"], combine)
+    return red.map_batches(
+        lambda b: b.select(["token", "tf", "df"]), batch_format="pyarrow"
+    )
+
+
+def gopher_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style (Rae et al. 2021, arXiv:2112.11446 §A1.1) document
+    quality gates in PURE INTEGER arithmetic — no float ratios, so the
+    SQL oracle can mirror every rule exactly:
+
+    - ``n_words``:       lowercased ``[a-z0-9_]+`` token count;
+    - ``sum_word_len``:  total word characters (mean word length bounds
+      become ``3·n_words ≤ sum_word_len ≤ 10·n_words`` — the published
+      mean∈[3,10] rule without an average that could land on a rounding
+      tie);
+    - ``n_hash``/``n_ellipsis``: '#' and non-overlapping '...' counts
+      (symbol-to-word ratio ≤ 0.1 becomes
+      ``10·(n_hash+n_ellipsis) ≤ n_words``);
+    - ``keep``:          50 ≤ n_words ≤ 100000 ∧ both rules above.
+
+    Fully vectorized pyarrow.compute; one kernel pass per column."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    low = pc.utf8_lower(t)
+    n_words = pc.count_substring_regex(low, r"[a-z0-9_]+").cast(pa.int64())
+    sum_word_len = pc.count_substring_regex(low, r"[a-z0-9_]").cast(pa.int64())
+    n_hash = pc.count_substring(t, "#").cast(pa.int64())
+    n_ellipsis = pc.count_substring(t, "...").cast(pa.int64())
+    words_ok = pc.and_(
+        pc.greater_equal(n_words, pa.scalar(50, pa.int64())),
+        pc.less_equal(n_words, pa.scalar(100_000, pa.int64())),
+    )
+    len_ok = pc.and_(
+        pc.greater_equal(sum_word_len, pc.multiply(n_words, pa.scalar(3, pa.int64()))),
+        pc.less_equal(sum_word_len, pc.multiply(n_words, pa.scalar(10, pa.int64()))),
+    )
+    sym_ok = pc.less_equal(
+        pc.multiply(pc.add(n_hash, n_ellipsis), pa.scalar(10, pa.int64())),
+        n_words,
+    )
+    keep = pc.and_(pc.and_(words_ok, len_ok), sym_ok)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "sum_word_len": sum_word_len,
+            "n_hash": n_hash,
+            "n_ellipsis": n_ellipsis,
+            "keep": keep,
+        }
+    )
