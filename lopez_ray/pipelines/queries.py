@@ -549,6 +549,171 @@ asof left join (select * from events where event_type = 'view') v
 """
 
 
+def q_events_rolling(sf_dir: str):
+    """Sliding-WINDOW aggregate: per (user, day), the 7-day rolling sum
+    of event value ([day-6, day], days with events only — the SQL
+    ``range between 6 preceding and current row`` frame). One
+    hash-partitioned shuffle on user_id; inside each partition
+    everything is vectorized: per-(user,day) pre-sum, C-implemented
+    groupby cumsum for prefix sums, then ONE ``pd.merge_asof`` at
+    day-7 recovers the prefix just below the window — rolling sum =
+    prefix(day) − prefix(day−7) with no per-user Python loop."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        t = pa.table({"user_id": b["user_id"], "day": day, "value": b["value"]})
+        # per-batch combiner: one row per (user, day) crosses the wire
+        return t.group_by(["user_id", "day"]).aggregate([("value", "sum")])
+
+    daily = ds.map_batches(pre, batch_format="pyarrow")
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(["user_id", "day"], as_index=False)
+            .agg(v=("value_sum", "sum"))
+            .sort_values(["user_id", "day"], kind="stable")
+            .reset_index(drop=True)
+        )
+        g["cum"] = g.groupby("user_id")["v"].cumsum()
+        # merge_asof returns rows in probe-sort order with a FRESH
+        # index — carry the original position explicitly
+        probe = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "qday": g["day"] - 7,
+                "pos": np.arange(len(g), dtype=np.int64),
+            }
+        ).sort_values(["qday"], kind="stable")
+        m = pd.merge_asof(
+            probe,
+            g[["user_id", "day", "cum"]]
+            .rename(columns={"day": "qday", "cum": "prev_cum"})
+            .sort_values("qday", kind="stable"),
+            on="qday",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).sort_values("pos", kind="stable")
+        prev = m["prev_cum"].fillna(0.0).to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "day": g["day"].astype("int64"),
+                "roll7": np.round(g["cum"].to_numpy() - prev, 6),
+            }
+        )
+
+    return partitioned_reduce(daily, ["user_id"], roll)
+
+
+SQL_EVENTS_ROLLING = """
+with d as (
+  select user_id,
+         cast(floor(epoch_us(ts) / 86400000000) as bigint) as day,
+         sum(value) as v
+  from events group by 1, 2
+)
+select cast(user_id as bigint) as user_id, day,
+       round(sum(v) over (partition by user_id order by day
+                          range between 6 preceding and current row), 6) as roll7
+from d
+"""
+
+
+def q_events_range_join(sf_dir: str):
+    """RANGE JOIN (attribution): for every click, the number of
+    purchases by the same user in the window (click, click + 1h]. One
+    hash-partitioned shuffle on user_id; per partition the count is the
+    DIFFERENCE OF TWO RANK LOOKUPS — purchases get a per-user cumcount,
+    and two vectorized ``pd.merge_asof`` probes (at click ts and at
+    click ts + 1h) read off how many purchases precede each bound. No
+    per-user loop, no pair materialization: cost is O(rows log rows)
+    per partition regardless of window hit rate."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["event_type"], pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    HOUR_US = 3_600_000_000
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"]
+        if not len(clicks):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                }
+            )
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = g.assign(ts_us=ts_us)
+        clicks = g[g["event_type"] == "click"]
+        purch = g[g["event_type"] == "purchase"].sort_values(
+            ["user_id", "ts_us"], kind="stable"
+        )
+        # rank r = how many of the user's purchases have ts <= probe
+        purch = purch.assign(r=purch.groupby("user_id").cumcount() + 1)
+
+        def rank_at(bound: np.ndarray) -> np.ndarray:
+            # merge_asof returns probe-sort order with a fresh index —
+            # carry the original position explicitly
+            probe = pd.DataFrame(
+                {
+                    "user_id": clicks["user_id"].to_numpy(),
+                    "b": bound,
+                    "pos": np.arange(len(clicks), dtype=np.int64),
+                }
+            ).sort_values("b", kind="stable")
+            m = pd.merge_asof(
+                probe,
+                purch[["user_id", "ts_us", "r"]]
+                .rename(columns={"ts_us": "b"})
+                .sort_values("b", kind="stable"),  # asof needs GLOBAL on-key sort
+                on="b",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=True,
+            ).sort_values("pos", kind="stable")
+            return m["r"].fillna(0).to_numpy().astype(np.int64)
+
+        c_ts = clicks["ts_us"].to_numpy()
+        n = rank_at(c_ts + HOUR_US) - rank_at(c_ts)
+        return pd.DataFrame(
+            {
+                "event_id": clicks["event_id"].astype("int64").to_numpy(),
+                "user_id": clicks["user_id"].astype("int64").to_numpy(),
+                "n_purchases": n,
+            }
+        )
+
+    return partitioned_reduce(ds, ["user_id"], attribute)
+
+
+SQL_EVENTS_RANGE_JOIN = """
+select c.event_id,
+       cast(c.user_id as bigint) as user_id,
+       count(p.event_id) as n_purchases
+from (select * from events where event_type = 'click') c
+left join (select * from events where event_type = 'purchase') p
+  on p.user_id = c.user_id
+ and p.ts > c.ts and p.ts <= c.ts + interval 1 hour
+group by 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational pipelines
 # ---------------------------------------------------------------------------
@@ -909,6 +1074,54 @@ from (
          ) as rk
   from orders
 ) where rk <= 3
+"""
+
+
+def q_acctbal_median(sf_dir: str):
+    """Distributed ORDER STATISTIC: per nation, the exact lower-median
+    customer balance — element ⌈n/2⌉ of the (acctbal, custkey)-ordered
+    group, a deterministic row pick rather than an interpolated
+    quantile (no float averaging, no engine-specific percentile
+    semantics to mirror). ONE hash-partitioned shuffle on nationkey
+    (whole nations co-locate), then a vectorized sort + cumcount ==
+    (size+1)//2 mask per partition — no per-nation Python."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def median_pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["c_nationkey", "c_acctbal", "c_custkey"], kind="stable"
+        )
+        grp = g.groupby("c_nationkey")
+        size = grp["c_custkey"].transform("size")
+        rn = grp.cumcount() + 1
+        pick = g[rn == (size + 1) // 2]
+        sizes = pick.assign(n_cust=size[rn == (size + 1) // 2])
+        return pd.DataFrame(
+            {
+                "c_nationkey": sizes["c_nationkey"].astype("int64"),
+                "n_cust": sizes["n_cust"].astype("int64"),
+                "median_acctbal": np.round(sizes["c_acctbal"].to_numpy(), 2),
+            }
+        )
+
+    return partitioned_reduce(ds, ["c_nationkey"], median_pick)
+
+
+SQL_ACCTBAL_MEDIAN = """
+select cast(c_nationkey as bigint) as c_nationkey,
+       n as n_cust,
+       round(c_acctbal, 2) as median_acctbal
+from (
+  select c_nationkey, c_acctbal,
+         row_number() over (partition by c_nationkey
+                            order by c_acctbal, c_custkey) as rn,
+         count(*) over (partition by c_nationkey) as n
+  from customer
+) where rn = (n + 1) // 2
 """
 
 
@@ -2286,11 +2499,14 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_rolling": q_events_rolling,
+    "events_range_join": q_events_range_join,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "suppliers_per_region": q_suppliers_per_region,
     "top_orders": q_top_orders,
     "top_orders_per_cust": q_top_orders_per_cust,
+    "acctbal_median": q_acctbal_median,
     "parts_by_brand": q_parts_by_brand,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_norms": q_embedding_norms,
@@ -2364,7 +2580,10 @@ ORACLES = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_rolling": SQL_EVENTS_ROLLING,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+    "acctbal_median": SQL_ACCTBAL_MEDIAN,
 }
 
 
