@@ -468,6 +468,57 @@ from ordered group by user_id
 """
 
 
+def _ts_epoch_us(s) -> np.ndarray:
+    """Datetime series → int64 µs with an explicit unit pin: pyarrow may
+    hand back ns- or µs-resolution datetimes depending on version, and
+    epoch_us must mean µs on every path."""
+    return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
+def _asof_partition(g):
+    """Per-partition AS-OF kernel (module-level so the property suite
+    can drive it without Ray): for each click row in ``g``, the latest
+    view by the same user at-or-before the click; -1 when none.
+    ``g`` holds whole user-groups with columns
+    (event_id, user_id, ts, event_type)."""
+    import pandas as pd
+
+    clicks = g[g["event_type"] == "click"]
+    if not len(clicks):
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "view_ts_us": pd.Series([], dtype="int64"),
+            }
+        )
+    views = g[g["event_type"] == "view"]
+    clicks = clicks.sort_values("ts", kind="stable")
+    views = views.sort_values("ts", kind="stable")
+    m = pd.merge_asof(
+        clicks[["event_id", "user_id", "ts"]],
+        views[["user_id", "ts"]].rename(columns={"ts": "view_ts"}),
+        left_on="ts",
+        right_on="view_ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    matched = m["view_ts"].notna().to_numpy()
+    view_us = np.full(len(m), -1, dtype=np.int64)
+    if matched.any():
+        view_us[matched] = _ts_epoch_us(m["view_ts"][matched])
+    return pd.DataFrame(
+        {
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "ts_us": _ts_epoch_us(m["ts"]),
+            "view_ts_us": view_us,
+        }
+    )
+
+
 def q_events_asof(sf_dir: str):
     """Distributed AS-OF JOIN: for every 'click' event, the most recent
     'view' by the same user at or before the click. Both sides ride ONE
@@ -482,8 +533,6 @@ def q_events_asof(sf_dir: str):
     Output is the matched view's TIMESTAMP (deterministic under
     duplicate view timestamps — any tie has the same ts), not its
     payload, which would be ambiguous under ties."""
-    import pandas as pd
-
     from ..stages.shuffle import partitioned_reduce
 
     ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
@@ -493,49 +542,7 @@ def q_events_asof(sf_dir: str):
         lambda b: b.filter(pc.is_in(b["event_type"], pa.array(["click", "view"]))),
         batch_format="pyarrow",
     )
-
-    def _epoch_us(s: pd.Series) -> np.ndarray:
-        # explicit unit pin: pyarrow may hand back ns- or us-resolution
-        # datetimes depending on version; epoch_us must mean µs
-        return s.to_numpy().astype("datetime64[us]").astype(np.int64)
-
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"]
-        if not len(clicks):
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts_us": pd.Series([], dtype="int64"),
-                    "view_ts_us": pd.Series([], dtype="int64"),
-                }
-            )
-        views = g[g["event_type"] == "view"]
-        clicks = clicks.sort_values("ts", kind="stable")
-        views = views.sort_values("ts", kind="stable")
-        m = pd.merge_asof(
-            clicks[["event_id", "user_id", "ts"]],
-            views[["user_id", "ts"]].rename(columns={"ts": "view_ts"}),
-            left_on="ts",
-            right_on="view_ts",
-            by="user_id",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        matched = m["view_ts"].notna().to_numpy()
-        view_us = np.full(len(m), -1, dtype=np.int64)
-        if matched.any():
-            view_us[matched] = _epoch_us(m["view_ts"][matched])
-        return pd.DataFrame(
-            {
-                "event_id": m["event_id"].astype("int64"),
-                "user_id": m["user_id"].astype("int64"),
-                "ts_us": _epoch_us(m["ts"]),
-                "view_ts_us": view_us,
-            }
-        )
-
-    return partitioned_reduce(ds, ["user_id"], asof)
+    return partitioned_reduce(ds, ["user_id"], _asof_partition)
 
 
 SQL_EVENTS_ASOF = """
@@ -549,6 +556,50 @@ asof left join (select * from events where event_type = 'view') v
 """
 
 
+def _rolling_partition(g):
+    """Per-partition 7-day rolling-sum kernel (module-level for the
+    property suite): ``g`` holds (user_id, day, value_sum) partial rows
+    for whole user-groups; returns (user_id, day, roll7) where roll7 is
+    the sum over that user's days in [day-6, day]. Prefix-sum +
+    merge_asof(day-7) difference — fully vectorized."""
+    import pandas as pd
+
+    g = (
+        g.groupby(["user_id", "day"], as_index=False)
+        .agg(v=("value_sum", "sum"))
+        .sort_values(["user_id", "day"], kind="stable")
+        .reset_index(drop=True)
+    )
+    g["cum"] = g.groupby("user_id")["v"].cumsum()
+    # merge_asof returns rows in probe-sort order with a FRESH
+    # index — carry the original position explicitly
+    probe = pd.DataFrame(
+        {
+            "user_id": g["user_id"],
+            "qday": g["day"] - 7,
+            "pos": np.arange(len(g), dtype=np.int64),
+        }
+    ).sort_values(["qday"], kind="stable")
+    m = pd.merge_asof(
+        probe,
+        g[["user_id", "day", "cum"]]
+        .rename(columns={"day": "qday", "cum": "prev_cum"})
+        .sort_values("qday", kind="stable"),
+        on="qday",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("pos", kind="stable")
+    prev = m["prev_cum"].fillna(0.0).to_numpy()
+    return pd.DataFrame(
+        {
+            "user_id": g["user_id"].astype("int64"),
+            "day": g["day"].astype("int64"),
+            "roll7": np.round(g["cum"].to_numpy() - prev, 6),
+        }
+    )
+
+
 def q_events_rolling(sf_dir: str):
     """Sliding-WINDOW aggregate: per (user, day), the 7-day rolling sum
     of event value ([day-6, day], days with events only — the SQL
@@ -558,8 +609,6 @@ def q_events_rolling(sf_dir: str):
     groupby cumsum for prefix sums, then ONE ``pd.merge_asof`` at
     day-7 recovers the prefix just below the window — rolling sum =
     prefix(day) − prefix(day−7) with no per-user Python loop."""
-    import pandas as pd
-
     from ..stages.shuffle import partitioned_reduce
 
     ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
@@ -571,44 +620,7 @@ def q_events_rolling(sf_dir: str):
         return t.group_by(["user_id", "day"]).aggregate([("value", "sum")])
 
     daily = ds.map_batches(pre, batch_format="pyarrow")
-
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            g.groupby(["user_id", "day"], as_index=False)
-            .agg(v=("value_sum", "sum"))
-            .sort_values(["user_id", "day"], kind="stable")
-            .reset_index(drop=True)
-        )
-        g["cum"] = g.groupby("user_id")["v"].cumsum()
-        # merge_asof returns rows in probe-sort order with a FRESH
-        # index — carry the original position explicitly
-        probe = pd.DataFrame(
-            {
-                "user_id": g["user_id"],
-                "qday": g["day"] - 7,
-                "pos": np.arange(len(g), dtype=np.int64),
-            }
-        ).sort_values(["qday"], kind="stable")
-        m = pd.merge_asof(
-            probe,
-            g[["user_id", "day", "cum"]]
-            .rename(columns={"day": "qday", "cum": "prev_cum"})
-            .sort_values("qday", kind="stable"),
-            on="qday",
-            by="user_id",
-            direction="backward",
-            allow_exact_matches=True,
-        ).sort_values("pos", kind="stable")
-        prev = m["prev_cum"].fillna(0.0).to_numpy()
-        return pd.DataFrame(
-            {
-                "user_id": g["user_id"].astype("int64"),
-                "day": g["day"].astype("int64"),
-                "roll7": np.round(g["cum"].to_numpy() - prev, 6),
-            }
-        )
-
-    return partitioned_reduce(daily, ["user_id"], roll)
+    return partitioned_reduce(daily, ["user_id"], _rolling_partition)
 
 
 SQL_EVENTS_ROLLING = """
@@ -625,6 +637,67 @@ from d
 """
 
 
+_HOUR_US = 3_600_000_000
+
+
+def _range_join_partition(g):
+    """Per-partition range-join kernel (module-level for the property
+    suite): for each click in ``g`` (whole user-groups, columns
+    event_id/user_id/ts/event_type), the count of same-user purchases
+    with ts in (click, click + 1h]. Difference of two rank lookups via
+    merge_asof — no pair materialization."""
+    import pandas as pd
+
+    clicks = g[g["event_type"] == "click"]
+    if not len(clicks):
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_purchases": pd.Series([], dtype="int64"),
+            }
+        )
+    g = g.assign(ts_us=_ts_epoch_us(g["ts"]))
+    clicks = g[g["event_type"] == "click"]
+    purch = g[g["event_type"] == "purchase"].sort_values(
+        ["user_id", "ts_us"], kind="stable"
+    )
+    # rank r = how many of the user's purchases have ts <= probe
+    purch = purch.assign(r=purch.groupby("user_id").cumcount() + 1)
+
+    def rank_at(bound: np.ndarray) -> np.ndarray:
+        # merge_asof returns probe-sort order with a fresh index —
+        # carry the original position explicitly
+        probe = pd.DataFrame(
+            {
+                "user_id": clicks["user_id"].to_numpy(),
+                "b": bound,
+                "pos": np.arange(len(clicks), dtype=np.int64),
+            }
+        ).sort_values("b", kind="stable")
+        m = pd.merge_asof(
+            probe,
+            purch[["user_id", "ts_us", "r"]]
+            .rename(columns={"ts_us": "b"})
+            .sort_values("b", kind="stable"),  # asof needs GLOBAL on-key sort
+            on="b",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).sort_values("pos", kind="stable")
+        return m["r"].fillna(0).to_numpy().astype(np.int64)
+
+    c_ts = clicks["ts_us"].to_numpy()
+    n = rank_at(c_ts + _HOUR_US) - rank_at(c_ts)
+    return pd.DataFrame(
+        {
+            "event_id": clicks["event_id"].astype("int64").to_numpy(),
+            "user_id": clicks["user_id"].astype("int64").to_numpy(),
+            "n_purchases": n,
+        }
+    )
+
+
 def q_events_range_join(sf_dir: str):
     """RANGE JOIN (attribution): for every click, the number of
     purchases by the same user in the window (click, click + 1h]. One
@@ -634,8 +707,6 @@ def q_events_range_join(sf_dir: str):
     click ts + 1h) read off how many purchases precede each bound. No
     per-user loop, no pair materialization: cost is O(rows log rows)
     per partition regardless of window hit rate."""
-    import pandas as pd
-
     from ..stages.shuffle import partitioned_reduce
 
     ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
@@ -646,60 +717,7 @@ def q_events_range_join(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    HOUR_US = 3_600_000_000
-
-    def attribute(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"]
-        if not len(clicks):
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "n_purchases": pd.Series([], dtype="int64"),
-                }
-            )
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        g = g.assign(ts_us=ts_us)
-        clicks = g[g["event_type"] == "click"]
-        purch = g[g["event_type"] == "purchase"].sort_values(
-            ["user_id", "ts_us"], kind="stable"
-        )
-        # rank r = how many of the user's purchases have ts <= probe
-        purch = purch.assign(r=purch.groupby("user_id").cumcount() + 1)
-
-        def rank_at(bound: np.ndarray) -> np.ndarray:
-            # merge_asof returns probe-sort order with a fresh index —
-            # carry the original position explicitly
-            probe = pd.DataFrame(
-                {
-                    "user_id": clicks["user_id"].to_numpy(),
-                    "b": bound,
-                    "pos": np.arange(len(clicks), dtype=np.int64),
-                }
-            ).sort_values("b", kind="stable")
-            m = pd.merge_asof(
-                probe,
-                purch[["user_id", "ts_us", "r"]]
-                .rename(columns={"ts_us": "b"})
-                .sort_values("b", kind="stable"),  # asof needs GLOBAL on-key sort
-                on="b",
-                by="user_id",
-                direction="backward",
-                allow_exact_matches=True,
-            ).sort_values("pos", kind="stable")
-            return m["r"].fillna(0).to_numpy().astype(np.int64)
-
-        c_ts = clicks["ts_us"].to_numpy()
-        n = rank_at(c_ts + HOUR_US) - rank_at(c_ts)
-        return pd.DataFrame(
-            {
-                "event_id": clicks["event_id"].astype("int64").to_numpy(),
-                "user_id": clicks["user_id"].astype("int64").to_numpy(),
-                "n_purchases": n,
-            }
-        )
-
-    return partitioned_reduce(ds, ["user_id"], attribute)
+    return partitioned_reduce(ds, ["user_id"], _range_join_partition)
 
 
 SQL_EVENTS_RANGE_JOIN = """
@@ -1077,6 +1095,29 @@ from (
 """
 
 
+def _median_partition(g):
+    """Per-partition order-statistic kernel (module-level for the
+    property suite): ``g`` holds whole nation-groups of
+    (c_custkey, c_nationkey, c_acctbal); picks element ⌈n/2⌉ of each
+    group's (acctbal, custkey) order — the lower median — via one
+    vectorized sort + cumcount mask."""
+    import pandas as pd
+
+    g = g.sort_values(["c_nationkey", "c_acctbal", "c_custkey"], kind="stable")
+    grp = g.groupby("c_nationkey")
+    size = grp["c_custkey"].transform("size")
+    rn = grp.cumcount() + 1
+    mask = rn == (size + 1) // 2
+    pick = g[mask].assign(n_cust=size[mask])
+    return pd.DataFrame(
+        {
+            "c_nationkey": pick["c_nationkey"].astype("int64"),
+            "n_cust": pick["n_cust"].astype("int64"),
+            "median_acctbal": np.round(pick["c_acctbal"].to_numpy(), 2),
+        }
+    )
+
+
 def q_acctbal_median(sf_dir: str):
     """Distributed ORDER STATISTIC: per nation, the exact lower-median
     customer balance — element ⌈n/2⌉ of the (acctbal, custkey)-ordered
@@ -1085,30 +1126,10 @@ def q_acctbal_median(sf_dir: str):
     semantics to mirror). ONE hash-partitioned shuffle on nationkey
     (whole nations co-locate), then a vectorized sort + cumcount ==
     (size+1)//2 mask per partition — no per-nation Python."""
-    import pandas as pd
-
     from ..stages.shuffle import partitioned_reduce
 
     ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
-
-    def median_pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["c_nationkey", "c_acctbal", "c_custkey"], kind="stable"
-        )
-        grp = g.groupby("c_nationkey")
-        size = grp["c_custkey"].transform("size")
-        rn = grp.cumcount() + 1
-        pick = g[rn == (size + 1) // 2]
-        sizes = pick.assign(n_cust=size[rn == (size + 1) // 2])
-        return pd.DataFrame(
-            {
-                "c_nationkey": sizes["c_nationkey"].astype("int64"),
-                "n_cust": sizes["n_cust"].astype("int64"),
-                "median_acctbal": np.round(sizes["c_acctbal"].to_numpy(), 2),
-            }
-        )
-
-    return partitioned_reduce(ds, ["c_nationkey"], median_pick)
+    return partitioned_reduce(ds, ["c_nationkey"], _median_partition)
 
 
 SQL_ACCTBAL_MEDIAN = """

@@ -1,0 +1,196 @@
+"""Property-based hardening of the window-family per-partition kernels
+(pipelines/queries.py): as-of join, 7-day rolling sum, range-join
+attribution, and the per-group order statistic.
+
+Each kernel is a pure pandas function (module-level exactly so this
+suite can drive it without a Ray exchange), compared against a
+deliberately naive O(n²) Python reference. The generators are
+tie-heavy: timestamps from a tiny integer space force duplicate event
+times (click == view instants, same-timestamp purchases), multiple hot
+users, and empty sides — the corners where merge_asof boundary
+semantics (allow_exact_matches, backward direction, probe-order
+output) would drift from the SQL definitions."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from lopez_ray.pipelines.queries import (  # noqa: E402
+    _HOUR_US,
+    _asof_partition,
+    _median_partition,
+    _range_join_partition,
+    _rolling_partition,
+)
+
+_SETTINGS = settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+USER = st.integers(min_value=0, max_value=3)  # hot users → real groups
+# µs timestamps clustered tightly so exact ties and sub-hour gaps occur
+TS_US = st.integers(min_value=0, max_value=4 * _HOUR_US)
+ETYPE = st.sampled_from(["click", "view", "purchase", "error"])
+
+EVENTS = st.lists(st.tuples(USER, TS_US, ETYPE), min_size=0, max_size=60)
+
+
+def _events_frame(rows):
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "ts": pd.to_datetime(
+                np.array([r[1] for r in rows], dtype="int64"), unit="us"
+            ).astype("datetime64[us]"),
+            "event_type": [r[2] for r in rows],
+        }
+    )
+
+
+@given(rows=EVENTS)
+@_SETTINGS
+def test_asof_partition_equals_bruteforce(rows):
+    g = _events_frame(rows)
+    got = _asof_partition(g[g["event_type"].isin(["click", "view"])])
+    want = []
+    ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    for i in range(len(g)):
+        if g["event_type"].iloc[i] != "click":
+            continue
+        prior = [
+            ts_us[j]
+            for j in range(len(g))
+            if g["event_type"].iloc[j] == "view"
+            and g["user_id"].iloc[j] == g["user_id"].iloc[i]
+            and ts_us[j] <= ts_us[i]
+        ]
+        want.append(
+            (
+                int(g["event_id"].iloc[i]),
+                int(g["user_id"].iloc[i]),
+                int(ts_us[i]),
+                max(prior) if prior else -1,
+            )
+        )
+    got_rows = sorted(map(tuple, got.to_numpy().tolist()))
+    assert got_rows == sorted(want)
+
+
+@given(rows=EVENTS)
+@_SETTINGS
+def test_range_join_partition_equals_bruteforce(rows):
+    g = _events_frame(rows)
+    got = _range_join_partition(g[g["event_type"].isin(["click", "purchase"])])
+    ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    want = []
+    for i in range(len(g)):
+        if g["event_type"].iloc[i] != "click":
+            continue
+        n = sum(
+            1
+            for j in range(len(g))
+            if g["event_type"].iloc[j] == "purchase"
+            and g["user_id"].iloc[j] == g["user_id"].iloc[i]
+            and ts_us[i] < ts_us[j] <= ts_us[i] + _HOUR_US
+        )
+        want.append((int(g["event_id"].iloc[i]), int(g["user_id"].iloc[i]), n))
+    got_rows = sorted(map(tuple, got.to_numpy().tolist()))
+    assert got_rows == sorted(want)
+
+
+DAILY = st.lists(
+    st.tuples(
+        USER,
+        st.integers(min_value=0, max_value=25),  # day — tight → windows overlap
+        st.integers(min_value=-50, max_value=50),  # integer values: exact sums
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=DAILY)
+@_SETTINGS
+def test_rolling_partition_equals_bruteforce(rows):
+    g = pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "day": np.array([r[1] for r in rows], dtype=np.int64),
+            "value_sum": np.array([r[2] for r in rows], dtype=np.float64),
+        }
+    )
+    got = _rolling_partition(g)
+    daily = {}
+    for u, d, v in rows:
+        daily[(u, d)] = daily.get((u, d), 0.0) + v
+    want = sorted(
+        (
+            u,
+            d,
+            round(
+                sum(v2 for (u2, d2), v2 in daily.items() if u2 == u and d - 6 <= d2 <= d),
+                6,
+            ),
+        )
+        for (u, d) in daily
+    )
+    got_rows = sorted(
+        (int(r.user_id), int(r.day), float(r.roll7))
+        for r in got.itertuples(index=False)
+    )
+    assert got_rows == want
+
+
+CUSTOMERS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # nation
+        st.integers(min_value=-10, max_value=10),  # balance: ties likely
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@given(rows=CUSTOMERS)
+@_SETTINGS
+def test_median_partition_equals_bruteforce(rows):
+    g = pd.DataFrame(
+        {
+            "c_custkey": np.arange(len(rows), dtype=np.int64),
+            "c_nationkey": np.array([r[0] for r in rows], dtype=np.int64),
+            "c_acctbal": np.array([r[1] for r in rows], dtype=np.float64),
+        }
+    )
+    got = _median_partition(g)
+    want = []
+    for nat in sorted(set(r[0] for r in rows)):
+        grp = sorted(
+            (bal, key)
+            for key, (n, bal) in enumerate(rows)
+            if n == nat
+        )
+        bal, _ = grp[(len(grp) + 1) // 2 - 1]
+        want.append((nat, len(grp), round(float(bal), 2)))
+    got_rows = sorted(
+        (int(r.c_nationkey), int(r.n_cust), float(r.median_acctbal))
+        for r in got.itertuples(index=False)
+    )
+    assert got_rows == sorted(want)
+
+
+def test_asof_partition_empty_and_no_views():
+    g = _events_frame([])
+    out = _asof_partition(g)
+    assert len(out) == 0
+    assert list(out.columns) == ["event_id", "user_id", "ts_us", "view_ts_us"]
+    g2 = _events_frame([(1, 100, "click"), (2, 50, "click")])
+    out2 = _asof_partition(g2)
+    assert (out2["view_ts_us"] == -1).all()
