@@ -1729,6 +1729,34 @@ def q_ann_ivf(sf_dir: str):
     return pa.Table.from_pandas(ivf, preserve_index=False)
 
 
+def q_ann_lsh(sf_dir: str):
+    """Random-hyperplane LSH top-k (the bucketed ANN variant next to
+    IVF): 16 six-bit sign-signature tables; candidates = corpus rows
+    sharing a full signature with the query in ≥1 table, reranked by
+    exact cosine. On the planted-cluster fixture the seeded
+    configuration is verified EXACT vs brute force (recall 1.0,
+    tests/test_ann.py), so the same DuckDB window top-k oracle as
+    ``ann_ivf`` applies. Both sides round to 6dp and sort by
+    (query_idx, -score, vec_id)."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..fixtures.embfix import generate_ann_clusters
+    from ..stages.ann import lsh_topk
+
+    fdir = generate_ann_clusters()
+    corpus = rd.read_parquet(os.path.join(fdir, "corpus.parquet"))
+    q = np.array(
+        _pq.read_table(os.path.join(fdir, "queries.parquet"))["embedding"].to_pylist()
+    )
+    lsh = lsh_topk(corpus, q, k=10, n_tables=16, n_bits=6).to_pandas()
+    lsh["score"] = lsh["score"].round(6)
+    lsh = lsh.sort_values(
+        ["query_idx", "score", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(lsh, preserve_index=False)
+
+
 def _crawl_out_dir(sf_dir: str) -> str:
     return os.path.join("/tmp/lopez_ray_entry", "crawl-" + sf_dir.strip("/").replace("/", "_"))
 
@@ -2540,6 +2568,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "embedding_pair_truth": q_embedding_pair_truth,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_image_dedup": q_crawl_image_dedup,
@@ -2855,7 +2884,7 @@ from s
 qualify row_number() over (partition by query_idx order by cos desc, vec_id) <= 10
 order by query_idx, score desc, vec_id
 """
-    return {"embedding_dups": dup_sql, "ann_ivf": ann_sql}
+    return {"embedding_dups": dup_sql, "ann_ivf": ann_sql, "ann_lsh": ann_sql}
 
 
 def build_oracles() -> dict[str, str]:

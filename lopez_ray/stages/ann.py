@@ -522,3 +522,140 @@ def ivf_search(
             "score": pa.array(sv[sel], pa.float64()),
         }
     )
+
+
+def _pack_signs(proj: np.ndarray) -> np.ndarray:
+    """(n, n_bits) projections → (n,) int64 sign signatures."""
+    bits = (proj > 0.0).astype(np.int64)
+    weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
+    return bits @ weights
+
+
+def lsh_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_tables: int = 16,
+    n_bits: int = 6,
+    seed: int = 47,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Random-hyperplane LSH top-k — the bucketed ANN variant next to
+    IVF. ``n_tables`` independent sign-bit signatures per vector; a
+    corpus row is a CANDIDATE for a query iff they share a full
+    signature in at least one table; candidates are reranked by exact
+    cosine and reduced to per-batch partial top-k, merged on the driver
+    (k × nq rows — tiny).
+
+    Scale shape: the hyperplanes are REGENERATED from the seed inside
+    each task (n_tables × n_bits × dim floats — cheaper than shipping),
+    the query matrix + query signatures broadcast ONCE via ``ray.put``,
+    and the per-batch cost is n_tables tiny matmuls plus exact cosines
+    for the candidate PAIRS only (einsum over gathered rows — no
+    (batch × nq) full matmul like the brute-force baseline). At 100 TB
+    the same layout becomes a signature-keyed partitioned write (the
+    ``ivf_build`` pattern) so a query reads only its buckets; in-task
+    filtering is the right shape at bench scale where the corpus is
+    already streaming past.
+
+    Approximate by construction: a true neighbor colliding in NO table
+    is missed. On the planted-cluster fixture the seeded
+    (n_tables=16, n_bits=6) configuration is verified exact vs brute
+    force (tests/test_ann.py) — the same adjudication ivf uses."""
+    import heapq
+
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nq, dim = q.shape
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim))
+    qsigs = np.stack(
+        [_pack_signs(q @ planes[t].T) for t in range(n_tables)]
+    )  # (n_tables, nq)
+    qsort = np.argsort(qsigs, axis=1, kind="stable")
+    q_ref = ray.put((q, qsigs, qsort))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        qm, qs, qo = ray.get(q_ref)
+        rng_t = np.random.default_rng(seed)
+        planes_t = rng_t.normal(size=(n_tables, n_bits, dim))
+        vecs = _normalize(vecs_of(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_keys: list[np.ndarray] = []
+        for t in range(n_tables):
+            sig = _pack_signs(vecs @ planes_t[t].T)  # (n,)
+            qs_sorted = qs[t][qo[t]]
+            lo = np.searchsorted(qs_sorted, sig, side="left")
+            hi = np.searchsorted(qs_sorted, sig, side="right")
+            m = hi > lo  # rows whose signature matches >=1 query
+            if not m.any():
+                continue
+            rows = np.nonzero(m)[0]
+            counts = (hi - lo)[rows]
+            row_rep = np.repeat(rows, counts)
+            # query positions: ranges [lo, hi) in the sorted order
+            qpos = np.concatenate(
+                [qo[t][s:e] for s, e in zip(lo[rows], hi[rows])]
+            ) if len(rows) else np.empty(0, np.int64)
+            pair_keys.append(row_rep.astype(np.int64) * nq + qpos.astype(np.int64))
+        if not pair_keys:
+            return empty
+        pairs = np.unique(np.concatenate(pair_keys))
+        rows = pairs // nq
+        qidx = pairs % nq
+        sims = np.einsum("ij,ij->i", vecs[rows], qm[qidx])
+        # per-batch partial top-k per query: sort by (q, -sim, id), keep
+        # first k of each query group
+        order = np.lexsort((ids[rows], -sims, qidx))
+        qsorted = qidx[order]
+        starts = np.searchsorted(qsorted, np.arange(nq), side="left")
+        ends = np.searchsorted(qsorted, np.arange(nq), side="right")
+        keep_idx = np.concatenate(
+            [order[s : min(e, s + k)] for s, e in zip(starts, ends) if e > s]
+        ) if len(order) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "query_idx": pa.array(qidx[keep_idx].astype(np.int32), pa.int32()),
+                id_col: pa.array(ids[rows[keep_idx]], pa.int64()),
+                "score": pa.array(sims[keep_idx], pa.float64()),
+            }
+        )
+
+    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    df = pa.concat_tables(tables).to_pandas()
+    out = {"query_idx": [], id_col: [], "score": []}
+    for qi, g in df.groupby("query_idx"):
+        best = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda t: (-t.score, getattr(t, id_col))
+        )
+        for t in best:
+            out["query_idx"].append(qi)
+            out[id_col].append(getattr(t, id_col))
+            out["score"].append(t.score)
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], pa.int32()),
+            id_col: pa.array(out[id_col], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )

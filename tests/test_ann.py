@@ -157,3 +157,49 @@ def test_ivf_list_shard_cap(ray_session, tmp_path):
     b = b.sort_values(key).reset_index(drop=True)
     assert a[key].equals(b[key])
     assert np.allclose(a["score"], b["score"])
+
+
+def test_lsh_exact_on_planted_clusters(ray_session):
+    """The seeded (n_tables=16, n_bits=6) LSH configuration must equal
+    brute force on the planted-cluster fixture — this is what lets
+    ``ann_lsh`` share ``ann_ivf``'s exact DuckDB oracle."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lopez_ray.fixtures.embfix import generate_ann_clusters
+    from lopez_ray.stages.ann import brute_force_topk, lsh_topk
+
+    fdir = generate_ann_clusters()
+    q = np.array(
+        pq.read_table(os.path.join(fdir, "queries.parquet"))["embedding"].to_pylist()
+    )
+    corpus = rd.read_parquet(os.path.join(fdir, "corpus.parquet"))
+    exact = brute_force_topk(corpus, q, k=10).to_pandas()
+    corpus2 = rd.read_parquet(os.path.join(fdir, "corpus.parquet"))
+    lsh = lsh_topk(corpus2, q, k=10, n_tables=16, n_bits=6).to_pandas()
+    a = set(map(tuple, exact[["query_idx", "vec_id"]].to_numpy()))
+    b = set(map(tuple, lsh[["query_idx", "vec_id"]].to_numpy()))
+    assert a == b
+
+
+def test_lsh_recall_on_sorted_clustered_input(ray_session):
+    """Same adversarial tail-cluster layout the IVF sampler is tested
+    on: LSH has no fit step to bias, so tail-aimed queries must hold
+    high recall regardless of input order."""
+    from lopez_ray.stages.ann import brute_force_topk, lsh_topk
+
+    ds, _ = _clustered_sorted_dataset(n_per=3000)
+    r = np.random.default_rng(5)
+    qs = r.normal(size=(4, 16)) * 0.05
+    qs[:, 1] += 10.0  # tail cluster
+    exact = brute_force_topk(ds, qs, k=10).to_pandas()
+    ds2, _ = _clustered_sorted_dataset(n_per=3000)
+    approx = lsh_topk(ds2, qs, k=10, n_tables=16, n_bits=6).to_pandas()
+    recalls = []
+    for qi in exact.query_idx.unique():
+        t = set(exact[exact.query_idx == qi].vec_id)
+        g = set(approx[approx.query_idx == qi].vec_id)
+        recalls.append(len(t & g) / len(t))
+    assert np.mean(recalls) >= 0.9, recalls

@@ -85,7 +85,7 @@ def _oracled_names():
         "image_format_stats",
         # planted-fixture oracles (missing here pre-round-4: the drift
         # guard below now makes this list enforce itself)
-        "ann_ivf", "embedding_dups",
+        "ann_ivf", "ann_lsh", "embedding_dups",
     }
     return sorted(set(ORACLES) | lazy)
 
