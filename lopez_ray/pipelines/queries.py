@@ -732,6 +732,83 @@ group by 1, 2
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered-FUNNEL detection: per user, the earliest view, click and
+    purchase timestamps, and whether the user completed the strict
+    view < click < purchase sequence. Scale shape: a per-batch combiner
+    reduces to one (user, type) → min-ts row per batch (the funnel only
+    needs FIRST timestamps, so min is a lossless partial), then one
+    partitioned reduce pivots the three types into columns — the wire
+    carries O(users × 3) rows regardless of event volume. Timestamps
+    ride as int64 µs with -1 for a missing stage on both sides."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    STAGES = ["view", "click", "purchase"]
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": b["ts"].cast(pa.int64()),
+            }
+        ).filter(pc.is_in(b["event_type"], pa.array(STAGES)))
+        return t.group_by(["user_id", "event_type"]).aggregate([("ts_us", "min")])
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            ts=("ts_us_min", "min")
+        )
+        wide = m.pivot(index="user_id", columns="event_type", values="ts")
+        for s in STAGES:
+            if s not in wide.columns:
+                wide[s] = np.nan
+        wide = wide.reset_index()
+        cols = {
+            s: wide[s].fillna(-1).astype("int64").to_numpy() for s in STAGES
+        }
+        completed = (
+            (cols["view"] >= 0)
+            & (cols["click"] > cols["view"])
+            & (cols["purchase"] > cols["click"])
+        )
+        return pd.DataFrame(
+            {
+                "user_id": wide["user_id"].astype("int64"),
+                "first_view_us": cols["view"],
+                "first_click_us": cols["click"],
+                "first_purchase_us": cols["purchase"],
+                "completed": completed,
+            }
+        )
+
+    return partitioned_reduce(partials, ["user_id"], pivot)
+
+
+SQL_EVENTS_FUNNEL = """
+with m as (
+  select user_id,
+         coalesce(min(case when event_type = 'view' then epoch_us(ts) end), -1) as first_view_us,
+         coalesce(min(case when event_type = 'click' then epoch_us(ts) end), -1) as first_click_us,
+         coalesce(min(case when event_type = 'purchase' then epoch_us(ts) end), -1) as first_purchase_us
+  from events
+  where event_type in ('view', 'click', 'purchase')
+  group by user_id
+)
+select cast(user_id as bigint) as user_id,
+       first_view_us, first_click_us, first_purchase_us,
+       (first_view_us >= 0
+        and first_click_us > first_view_us
+        and first_purchase_us > first_click_us) as completed
+from m
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational pipelines
 # ---------------------------------------------------------------------------
@@ -2420,6 +2497,26 @@ from grams group by g having count(*) >= 2
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Token-repetition quality signal per document: total / distinct /
+    duplicate token counts — pure integers, no shuffle (the Gopher
+    repetition family next to ``gopher_quality``'s gates)."""
+    from ..stages.text import repetition_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION = """
+select doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+')) as n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) as n_distinct_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+         - len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) as n_dup_tokens
+from documents
+"""
+
+
 def q_tfidf_topk(sf_dir: str):
     """Corpus TF-IDF headline terms: one tokenize pass computes term
     frequency AND document frequency together (``token_tf_df`` — the
@@ -2550,6 +2647,7 @@ QUERIES = {
     "events_asof": q_events_asof,
     "events_rolling": q_events_rolling,
     "events_range_join": q_events_range_join,
+    "events_funnel": q_events_funnel,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "suppliers_per_region": q_suppliers_per_region,
@@ -2587,6 +2685,7 @@ QUERIES = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "tfidf_topk": q_tfidf_topk,
     "gopher_quality": q_gopher_quality,
+    "doc_repetition": q_doc_repetition,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -2629,9 +2728,11 @@ ORACLES = {
     "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "doc_repetition": SQL_DOC_REPETITION,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "acctbal_median": SQL_ACCTBAL_MEDIAN,
 }

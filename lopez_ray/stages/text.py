@@ -495,3 +495,46 @@ def gopher_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "keep": keep,
         }
     )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token-repetition quality signal (the Gopher §A1.1 repetition
+    family adapted to the corpus shape): per document, total tokens,
+    DISTINCT tokens, and the duplicate count (total − distinct) —
+    all integers, so the SQL oracle mirrors exactly
+    (len(regexp_extract_all) / len(list_distinct(...))).
+
+    n_tokens is one RE2 kernel pass; the distinct count explodes the
+    batch's tokens into one pandas Series and runs a C-speed
+    groupby(doc).nunique() — no per-document Python."""
+    import pandas as pd
+
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    low = pc.utf8_lower(t)
+    n_tokens = pc.count_substring_regex(low, r"[a-z0-9_]+").cast(pa.int64())
+    token_re = re.compile(r"[a-z0-9_]+")
+    texts = low.to_pylist()
+    doc_idx: list[int] = []
+    toks: list[str] = []
+    for i, s in enumerate(texts):
+        found = token_re.findall(s) if s else []
+        doc_idx.extend([i] * len(found))
+        toks.extend(found)
+    if toks:
+        ser = pd.DataFrame({"i": np.array(doc_idx, dtype=np.int64), "t": toks})
+        nd = ser.groupby("i")["t"].nunique()
+        n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+    else:
+        n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+    nt = n_tokens.to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+            "n_dup_tokens": pa.array(nt - n_distinct, pa.int64()),
+        }
+    )
