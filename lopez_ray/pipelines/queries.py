@@ -2517,6 +2517,84 @@ from documents
 """
 
 
+def q_subword_stats(sf_dir: str):
+    """BPE-ish token counting per document: whitespace tokens plus
+    subword PIECES under the tokenizer-style pattern
+    ``[a-z]+|[0-9]+|[^a-z0-9\\s]+`` (letter runs, digit runs,
+    punctuation runs — the RE2-safe core of a GPT-2-style pre-tokenizer,
+    no lookaheads so pyarrow and DuckDB run the IDENTICAL regex).
+    Pure kernel passes, no shuffle."""
+    PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+    WS_RE = r"\S+"
+
+    def stats(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        low = pc.utf8_lower(t)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_ws_tokens": pc.count_substring_regex(low, WS_RE).cast(pa.int64()),
+                "n_pieces": pc.count_substring_regex(low, PIECE_RE).cast(pa.int64()),
+            }
+        )
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_SUBWORD_STATS = """
+select doc_id,
+       len(regexp_extract_all(lower(text), '\\S+')) as n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) as n_pieces
+from documents
+"""
+
+
+def q_daily_active_users(sf_dir: str):
+    """Distributed COUNT DISTINCT: per day, event count and distinct
+    active users. Scale shape: each batch pre-reduces to its distinct
+    (day, user) pairs plus a per-day event count (the combiner — the
+    shuffle carries one row per distinct pair per batch, not one per
+    event), then ONE partitioned reduce on day finishes with a
+    C-speed nunique per partition."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        t = pa.table({"day": day, "user_id": b["user_id"], "n": day})
+        return t.group_by(["day", "user_id"]).aggregate([("n", "count")])
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("day", as_index=False).agg(
+            n_events=("n_count", "sum"), n_users=("user_id", "nunique")
+        )
+        return pd.DataFrame(
+            {
+                "day": out["day"].astype("int64"),
+                "n_events": out["n_events"].astype("int64"),
+                "n_users": out["n_users"].astype("int64"),
+            }
+        )
+
+    return partitioned_reduce(partials, ["day"], finish)
+
+
+SQL_DAILY_ACTIVE_USERS = """
+select cast(floor(epoch_us(ts) / 86400000000) as bigint) as day,
+       count(*) as n_events,
+       count(distinct user_id) as n_users
+from events group by 1
+"""
+
+
 def q_tfidf_topk(sf_dir: str):
     """Corpus TF-IDF headline terms: one tokenize pass computes term
     frequency AND document frequency together (``token_tf_df`` — the
@@ -2686,6 +2764,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "gopher_quality": q_gopher_quality,
     "doc_repetition": q_doc_repetition,
+    "subword_stats": q_subword_stats,
+    "daily_active_users": q_daily_active_users,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -2729,6 +2809,8 @@ ORACLES = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "doc_repetition": SQL_DOC_REPETITION,
+    "subword_stats": SQL_SUBWORD_STATS,
+    "daily_active_users": SQL_DAILY_ACTIVE_USERS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
