@@ -2595,6 +2595,60 @@ from events group by 1
 """
 
 
+_MD5_U64_SQL_EXPR = "||".join(
+    f"substr({{h}}, {17 + 2 * (7 - i)}, 2)" for i in range(8)
+)
+
+
+def _md5_u64_sql(col_expr: str) -> str:
+    """DuckDB expression equal to ``hash.md5_u64_batch`` (bytes 8..16 of
+    the digest, little-endian) over ``col_expr`` — hex pairs 17..32 of
+    md5() reversed and parsed as ubigint. Verified byte-identical to
+    the Python helper."""
+    inner = _MD5_U64_SQL_EXPR.replace("{h}", f"md5({col_expr})")
+    return f"('0x' || {inner})::ubigint"
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic train/validation SPLIT — the held-out-set operator
+    every training-data pipeline needs: bucket = md5_u64(doc_id) % 100,
+    split = 'train' below 90 else 'val'. Hash-based (not positional) so
+    the assignment is STABLE under any re-sharding/reordering of the
+    corpus, and embarrassingly parallel (pure map_batches, no shuffle).
+    The oracle reconstructs the exact same u64 from DuckDB's md5 hex."""
+    from ..hash import md5_u64_batch
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = (
+            md5_u64_batch([str(i).encode() for i in ids]) % np.uint64(100)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(
+                    np.where(buckets < 90, "train", "val"), pa.string()
+                ),
+            }
+        )
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+SQL_DOC_SPLIT = f"""
+with b as (
+  select doc_id,
+         cast({_md5_u64_sql("cast(doc_id as varchar)")} % 100 as bigint) as bucket
+  from documents
+)
+select doc_id, bucket,
+       case when bucket < 90 then 'train' else 'val' end as split
+from b
+"""
+
+
 def q_tfidf_topk(sf_dir: str):
     """Corpus TF-IDF headline terms: one tokenize pass computes term
     frequency AND document frequency together (``token_tf_df`` — the
@@ -2766,6 +2820,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "subword_stats": q_subword_stats,
     "daily_active_users": q_daily_active_users,
+    "doc_split": q_doc_split,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -2811,6 +2866,7 @@ ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "subword_stats": SQL_SUBWORD_STATS,
     "daily_active_users": SQL_DAILY_ACTIVE_USERS,
+    "doc_split": SQL_DOC_SPLIT,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
