@@ -732,6 +732,119 @@ group by 1, 2
 """
 
 
+def q_events_pivot(sf_dir: str):
+    """PIVOT (long → wide): per user, one column of event counts per
+    type. The per-batch combiner counts (user, type) pairs locally, ONE
+    partitioned reduce sums and unstacks — the wide row set is
+    O(users), the shuffle O(users × types). Column order and the
+    five type columns are FIXED so the schema is stable even when a
+    partition lacks a type."""
+    import pandas as pd
+
+    from ..stages.shuffle import partitioned_reduce
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"], "event_type": b["event_type"]})
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+        return t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+
+    def unstack(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n_sum", "sum")
+        )
+        wide = m.pivot(index="user_id", columns="event_type", values="n")
+        for ty in TYPES:
+            if ty not in wide.columns:
+                wide[ty] = 0
+        wide = wide.fillna(0).reset_index()
+        out = {"user_id": wide["user_id"].astype("int64")}
+        for ty in TYPES:
+            out[f"n_{ty}"] = wide[ty].astype("int64")
+        return pd.DataFrame(out)
+
+    return partitioned_reduce(partials, ["user_id"], unstack)
+
+
+SQL_EVENTS_PIVOT = """
+select cast(user_id as bigint) as user_id,
+       cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as n_click,
+       cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as n_error,
+       cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as n_purchase,
+       cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as n_signup,
+       cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as n_view
+from events group by user_id
+"""
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """ROLLUP aggregate: document counts + char sums at three grain
+    levels — (lang, source), (lang, *), (*, *) — in one result, the
+    subtotal rows marked with an explicit '*' sentinel (not NULL, so
+    the hash compare never meets engine-specific NULL-vs-NaN
+    round-trips). One combiner + one small groupby produces the finest
+    grain; the coarser grains re-aggregate THAT (vocab-sized) output —
+    no second pass over the corpus."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = (
+        ds.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "source": b["source"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+                "total_chars": b["total_chars"].cast(pa.int64()),
+            }
+        )
+
+    fine = fine.map_batches(canon, batch_format="pyarrow")
+    fine_tbl = pa.concat_tables(
+        [b for b in fine.iter_batches(batch_format="pyarrow") if b.num_rows]
+    )
+    # rollup grains from the tiny fine-grain result (|langs|×|sources|)
+    import pandas as pd
+
+    df = fine_tbl.to_pandas()
+    by_lang = df.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+    )
+    by_lang["source"] = "*"
+    total = pd.DataFrame(
+        {
+            "lang": ["*"],
+            "source": ["*"],
+            "n_docs": [df["n_docs"].sum()],
+            "total_chars": [df["total_chars"].sum()],
+        }
+    )
+    out = pd.concat(
+        [df, by_lang[df.columns], total[df.columns]], ignore_index=True
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_LANG_SOURCE_ROLLUP = """
+select coalesce(lang, '*') as lang,
+       coalesce(source, '*') as source,
+       count(*) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars
+from documents
+group by rollup (lang, source)
+"""
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-FUNNEL detection: per user, the earliest view, click and
     purchase timestamps, and whether the user completed the strict
@@ -2769,6 +2882,7 @@ select p[class="caption"] { caption: first(text pretty); }
 QUERIES = {
     "doc_stats": q_doc_stats,
     "lang_counts": q_lang_counts,
+    "lang_source_rollup": q_lang_source_rollup,
     "dedup_exact": q_dedup_exact,
     "capture": q_capture,
     "matches_replace": q_matches_replace,
@@ -2780,6 +2894,7 @@ QUERIES = {
     "events_rolling": q_events_rolling,
     "events_range_join": q_events_range_join,
     "events_funnel": q_events_funnel,
+    "events_pivot": q_events_pivot,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
     "suppliers_per_region": q_suppliers_per_region,
@@ -2833,6 +2948,7 @@ QUERIES = {
 ORACLES = {
     "doc_stats": SQL_DOC_STATS,
     "lang_counts": SQL_LANG_COUNTS,
+    "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "capture": SQL_CAPTURE,
     "matches_replace": SQL_MATCHES_REPLACE,
@@ -2871,6 +2987,7 @@ ORACLES = {
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_pivot": SQL_EVENTS_PIVOT,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "acctbal_median": SQL_ACCTBAL_MEDIAN,
 }
