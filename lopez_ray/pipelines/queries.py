@@ -2762,6 +2762,183 @@ from b
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-LM document scoring (the perplexity-style quality signal,
+    shaped like model scoring): fit a unigram LM on the corpus itself
+    (token counts / total), then score every document as the sum of
+    in-vocabulary token log-probs plus an out-of-vocabulary count.
+    Two passes: the combiner-first wordcount produces the (vocab-sized)
+    count table ONCE (materialized — it is O(vocab), not O(corpus)),
+    the top-``V`` vocabulary broadcasts as sorted arrays via ray.put,
+    and the scoring pass is one searchsorted + segment reduceat per
+    batch — no Python per token. OOV tokens are COUNTED, not smoothed:
+    a smoothing constant is one more float to keep bit-compatible in
+    SQL; an integer count is exact."""
+    import ray
+
+    from ..stages.text import token_ngram_counts
+
+    V = 100_000
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    counts = token_ngram_counts(ds, n=1).materialize()
+    n_total = int(counts.sum("cnt"))
+    vocab = (
+        counts.sort(["cnt", "token"], descending=[True, False])
+        .limit(V)
+        .to_pandas()
+    )
+    order = np.argsort(vocab["token"].to_numpy())
+    toks_sorted = vocab["token"].to_numpy()[order].astype(str)
+    logp_sorted = np.log(
+        vocab["cnt"].to_numpy()[order].astype(np.float64) / float(n_total)
+    )
+    lut_ref = ray.put((toks_sorted, logp_sorted))
+
+    import re as _re
+
+    token_re = _re.compile(r"[a-z0-9_]+")
+
+    def score(b: pa.Table) -> pa.Table:
+        keys, logp = ray.get(lut_ref)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        all_toks: list[str] = []
+        offsets = [0]
+        keep_docs: list[int] = []
+        for i, text in enumerate(b["text"].to_pylist()):
+            t = token_re.findall(text.lower()) if text else []
+            if not t:
+                continue  # tokenless docs are absent from the SQL side too
+            keep_docs.append(i)
+            all_toks.extend(t)
+            offsets.append(len(all_toks))
+        if not keep_docs:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_oov": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                }
+            )
+        arr = np.array(all_toks, dtype=str)
+        pos = np.searchsorted(keys, arr)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == arr if len(keys) else np.zeros(len(arr), bool)
+        tok_lp = np.where(hit, logp[pos_c], 0.0)
+        starts = np.array(offsets[:-1], dtype=np.int64)
+        lp = np.add.reduceat(tok_lp, starts)
+        oov = np.add.reduceat((~hit).astype(np.int64), starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep_docs], pa.int64()),
+                "n_oov": pa.array(oov, pa.int64()),
+                "logprob": pa.array(np.round(lp, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPROB = """
+with toks as (
+  select doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as token
+  from documents
+),
+counts as (select token, count(*) as cnt from toks group by token),
+vocab as (select token, cnt from counts order by cnt desc, token limit 100000),
+tot as (select cast(sum(cnt) as double) as n from counts)
+select t.doc_id,
+       cast(sum(case when v.token is null then 1 else 0 end) as bigint) as n_oov,
+       round(sum(case when v.token is not null
+                      then ln(v.cnt / (select n from tot)) else 0 end), 4) as logprob
+from toks t left join vocab v using (token)
+group by t.doc_id
+"""
+
+
+def q_orders_anti_join(sf_dir: str):
+    """ANTI-JOIN: orders whose customer is NOT in the BUILDING market
+    segment (including orders with no customer row) — the exclusion
+    filter every blocklist/already-processed check needs. Size-gated
+    like every join here: below the gate the BUILDING key set ships
+    ONCE via ray.put and each batch drops matches with one vectorized
+    searchsorted; above it, ``partitioned_lookup_join`` left-joins a
+    marker column and keeps the null-marker rows. Both paths
+    output-identical (tests/test_join_gate.py pattern)."""
+    import ray
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "o_totalprice": pc.round(b["o_totalprice"], ndigits=6),
+            }
+        )
+
+    if _pq_rows(sf_dir, "customer") <= _broadcast_max_rows():
+        cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+        keys = np.sort(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+        )
+        keys_ref = ray.put(keys)
+
+        def drop(b: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            probe = b["o_custkey"].to_numpy()
+            if len(k):
+                pos = np.minimum(np.searchsorted(k, probe), len(k) - 1)
+                keep = k[pos] != probe
+            else:
+                keep = np.ones(len(probe), bool)
+            return finish(b.filter(pa.array(keep)))
+
+        return ds.map_batches(drop, batch_format="pyarrow")
+
+    from ..stages.shuffle import partitioned_lookup_join
+
+    marker = (
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b.filter(
+                        pc.equal(b["c_mktsegment"], "BUILDING")
+                    )["c_custkey"],
+                }
+            ).append_column(
+                "in_seg",
+                pa.array(
+                    np.ones(
+                        len(
+                            b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+                        ),
+                        np.int64,
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = partitioned_lookup_join(ds, marker, ["o_custkey"], how="left")
+    return joined.map_batches(
+        lambda b: finish(b.filter(pc.is_null(b["in_seg"]))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDERS_ANTI_JOIN = """
+select o_orderkey, o_custkey, round(o_totalprice, 6) as o_totalprice
+from orders o
+where not exists (
+  select 1 from customer c
+  where c.c_custkey = o.o_custkey and c.c_mktsegment = 'BUILDING'
+)
+"""
+
+
 def q_tfidf_topk(sf_dir: str):
     """Corpus TF-IDF headline terms: one tokenize pass computes term
     frequency AND document frequency together (``token_tf_df`` — the
@@ -2936,6 +3113,8 @@ QUERIES = {
     "subword_stats": q_subword_stats,
     "daily_active_users": q_daily_active_users,
     "doc_split": q_doc_split,
+    "unigram_logprob": q_unigram_logprob,
+    "orders_anti_join": q_orders_anti_join,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
     "simhash_pairs": q_simhash_pairs,
@@ -2983,6 +3162,8 @@ ORACLES = {
     "subword_stats": SQL_SUBWORD_STATS,
     "daily_active_users": SQL_DAILY_ACTIVE_USERS,
     "doc_split": SQL_DOC_SPLIT,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "orders_anti_join": SQL_ORDERS_ANTI_JOIN,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
