@@ -2820,10 +2820,13 @@ def q_unigram_logprob(sf_dir: str):
                 }
             )
         arr = np.array(all_toks, dtype=str)
-        pos = np.searchsorted(keys, arr)
-        pos_c = np.minimum(pos, len(keys) - 1)
-        hit = keys[pos_c] == arr if len(keys) else np.zeros(len(arr), bool)
-        tok_lp = np.where(hit, logp[pos_c], 0.0)
+        if len(keys):
+            pos_c = np.minimum(np.searchsorted(keys, arr), len(keys) - 1)
+            hit = keys[pos_c] == arr
+            tok_lp = np.where(hit, logp[pos_c], 0.0)
+        else:  # empty vocabulary → everything OOV (logp[-1] would raise)
+            hit = np.zeros(len(arr), bool)
+            tok_lp = np.zeros(len(arr), np.float64)
         starts = np.array(offsets[:-1], dtype=np.int64)
         lp = np.add.reduceat(tok_lp, starts)
         oov = np.add.reduceat((~hit).astype(np.int64), starts)
