@@ -35,10 +35,20 @@ def _rp(sf_dir: str, table: str, columns=None):
 
 def _pq_rows(sf_dir: str, table: str) -> int:
     """Row count from parquet FOOTER metadata only — no data read. Used
-    by the broadcast-vs-partitioned join gates."""
+    by the broadcast-vs-partitioned join gates. Handles both a single
+    file and a directory of part files (the XL tiers' resumable
+    layout)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _broadcast_max_rows() -> int:

@@ -405,18 +405,16 @@ def token_tf_df(ds, text_col: str = "text"):
     token_re = re.compile(r"[a-z0-9_]+")
 
     def partial(batch: pa.Table) -> pa.Table:
-        tf: dict[str, int] = {}
-        df: dict[str, int] = {}
-        for text in batch[text_col].to_pylist():
-            toks = token_re.findall(text.lower()) if text else []
-            if not toks:
-                continue
-            doc_counts = pd.Series(toks).value_counts()
-            for tok, c in doc_counts.items():
-                tf[tok] = tf.get(tok, 0) + int(c)
-                df[tok] = df.get(tok, 0) + 1
-        keys = np.array(sorted(tf), dtype=object)
-        if not len(keys):
+        # tokenize per doc (inherently scalar), then ONE vectorized
+        # (doc, token) groupby for the whole batch — no per-document
+        # pandas objects on the hot path
+        doc_idx: list[int] = []
+        toks: list[str] = []
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            found = token_re.findall(text.lower()) if text else []
+            doc_idx.extend([i] * len(found))
+            toks.extend(found)
+        if not toks:
             return pa.table(
                 {
                     "gh": pa.array([], pa.int64()),
@@ -425,13 +423,20 @@ def token_tf_df(ds, text_col: str = "text"):
                     "df": pa.array([], pa.int64()),
                 }
             )
+        pairs = pd.DataFrame(
+            {"i": np.array(doc_idx, dtype=np.int64), "t": toks}
+        ).groupby(["t", "i"], as_index=False, sort=False).size()
+        agg = pairs.groupby("t", as_index=False, sort=False).agg(
+            tf=("size", "sum"), df=("size", "size")
+        )
+        keys = agg["t"].to_numpy(dtype=object)
         gh = md5_u64_batch([k.encode() for k in keys]).view(np.int64)
         return pa.table(
             {
                 "gh": pa.array(gh, pa.int64()),
                 "token": pa.array(keys, pa.string()),
-                "tf": pa.array([tf[k] for k in keys], pa.int64()),
-                "df": pa.array([df[k] for k in keys], pa.int64()),
+                "tf": pa.array(agg["tf"].to_numpy(np.int64), pa.int64()),
+                "df": pa.array(agg["df"].to_numpy(np.int64), pa.int64()),
             }
         )
 
