@@ -2772,6 +2772,158 @@ from b
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """SKETCH-based heavy hitters with an EXACT final answer: tokens
+    whose corpus frequency exceeds N/1000, found via a Misra-Gries
+    summary (bounded k=2000 counters per batch, merged with the
+    standard sum-then-decrement rule) and then EXACTLY recounted.
+
+    Why this is exact: MG with k counters undercounts any token by at
+    most N/(k+1) total across all merges, so every true heavy hitter
+    (freq > N/1000 > N/(k+1) for k=2000) must survive with a positive
+    counter — the candidate set is a guaranteed SUPERSET. Pass 2
+    recounts ONLY the candidates (broadcast set, the hash-prefilter
+    shape) and applies the threshold to exact counts, so a sketch
+    undercount can never change the answer — only cost. Driver state
+    is O(batches × k) summary rows, never O(vocab).
+
+    The scale story vs ``vocab_topk``: the wordcount's shuffle is
+    O(distinct tokens per batch); the sketch pass ships at most k rows
+    per batch regardless of vocabulary size — the right shape when the
+    vocab itself is too big to shuffle but only the head matters."""
+    import pandas as pd
+    import ray
+
+    from ..stages.text import TOKEN_RE  # noqa: F401  (convention anchor)
+
+    K = 2000
+    ds = _rp(sf_dir, "documents", ["text"])
+    token_re_l = r"[a-z0-9_]+"
+
+    def mg_summary(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        import re as _re
+
+        rex = _re.compile(token_re_l)
+        toks: list[str] = []
+        for s in t.to_pylist():
+            if s:
+                toks.extend(rex.findall(s.lower()))
+        n = len(toks)
+        if not n:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vc = pd.Series(toks).value_counts()
+        if len(vc) > K:
+            d = int(vc.iloc[K])  # (K+1)-th largest
+            vc = (vc - d).iloc[:K]
+            vc = vc[vc > 0]
+        # the batch token count rides on the FIRST row so the driver
+        # can total N without a separate pass
+        n_col = np.zeros(len(vc), np.int64)
+        if len(n_col):
+            n_col[0] = n
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(vc.to_numpy(np.int64), pa.int64()),
+                "n": pa.array(n_col, pa.int64()),
+            }
+        )
+
+    summaries = ds.map_batches(mg_summary, batch_format="pyarrow").to_pandas()
+    n_total = int(summaries["n"].sum())
+    # driver-side MG merge: sum counters, then compress to K via the
+    # decrement rule (associative; input is O(batches × K) rows)
+    merged = summaries.groupby("token", as_index=False).agg(c=("c", "sum"))
+    if len(merged) > K:
+        merged = merged.sort_values("c", ascending=False, kind="stable")
+        d = int(merged["c"].iloc[K])
+        merged["c"] = merged["c"] - d
+        merged = merged[merged["c"] > 0]
+    threshold = n_total // 1000
+    candidates = np.sort(merged["token"].to_numpy(dtype=str))
+    cand_ref = ray.put(candidates)
+
+    def recount(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        t = b["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        import re as _re
+
+        rex = _re.compile(token_re_l)
+        toks: list[str] = []
+        for s in t.to_pylist():
+            if s:
+                toks.extend(rex.findall(s.lower()))
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if not toks:
+            return empty
+        arr = np.array(toks, dtype=str)
+        if len(cand):
+            pos = np.minimum(np.searchsorted(cand, arr), len(cand) - 1)
+            arr = arr[cand[pos] == arr]  # candidates only
+        else:
+            arr = arr[:0]
+        if not len(arr):
+            return empty
+        vc = pd.Series(arr).value_counts()
+        keys = vc.index.to_numpy(dtype=object)
+        from ..hash import md5_u64_batch
+
+        gh = md5_u64_batch([k.encode() for k in keys]).view(np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                "token": pa.array(keys, pa.string()),
+                "cnt": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from ..stages.shuffle import partitioned_reduce
+
+    partials = ds.map_batches(recount, batch_format="pyarrow")
+    # gh only ROUTES (int64 mixer); the reduce groups by the string
+    exact = partitioned_reduce(
+        partials,
+        ["gh"],
+        lambda g: g.groupby("token", as_index=False).agg(cnt=("cnt", "sum")),
+        n_parts=8,
+    )
+    return exact.map_batches(
+        lambda b: b.select(["token", "cnt"]).filter(
+            pc.greater(b["cnt"], pa.scalar(threshold, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_HEAVY_HITTERS = """
+with toks as (
+  select unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as token
+  from documents
+),
+tot as (select count(*) as n from toks)
+select token, count(*) as cnt
+from toks group by token
+having count(*) > (select n // 1000 from tot)
+"""
+
+
 def q_unigram_logprob(sf_dir: str):
     """Corpus-LM document scoring (the perplexity-style quality signal,
     shaped like model scoring): fit a unigram LM on the corpus itself
@@ -3127,6 +3279,7 @@ QUERIES = {
     "daily_active_users": q_daily_active_users,
     "doc_split": q_doc_split,
     "unigram_logprob": q_unigram_logprob,
+    "heavy_hitters": q_heavy_hitters,
     "orders_anti_join": q_orders_anti_join,
     "analyze_rules": q_analyze_rules,
     "curate": q_curate,
@@ -3176,6 +3329,7 @@ ORACLES = {
     "daily_active_users": SQL_DAILY_ACTIVE_USERS,
     "doc_split": SQL_DOC_SPLIT,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "orders_anti_join": SQL_ORDERS_ANTI_JOIN,
     "events_asof": SQL_EVENTS_ASOF,
     "events_rolling": SQL_EVENTS_ROLLING,

@@ -194,3 +194,60 @@ def test_asof_partition_empty_and_no_views():
     g2 = _events_frame([(1, 100, "click"), (2, 50, "click")])
     out2 = _asof_partition(g2)
     assert (out2["view_ts_us"] == -1).all()
+
+
+def test_heavy_hitters_mg_compression_exact(ray_session, tmp_path):
+    """Misra-Gries path with the compression ENGAGED (vocab > K=2000 —
+    the sf corpora's 31-token vocab never compresses): the exact
+    recount must equal a brute-force count despite sketch undercounts,
+    because MG guarantees every true heavy hitter survives as a
+    candidate."""
+    import os
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    docs = []
+    for _ in range(2000):
+        words = [f"h{j}" for j in rng.integers(0, 10, 20)] + [
+            f"t{j:04d}" for j in rng.integers(0, 5000, 30)
+        ]
+        docs.append(" ".join(words))
+    d = tmp_path / "hh"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    from lopez_ray.pipelines.queries import QUERIES
+
+    got = (
+        QUERIES["heavy_hitters"](str(d))
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    toks: list[str] = []
+    for s in docs:
+        toks.extend(re.findall(r"[a-z0-9_]+", s.lower()))
+    vc = pd.Series(toks).value_counts()
+    thr = len(toks) // 1000
+    want = (
+        vc[vc > thr]
+        .rename_axis("token")
+        .reset_index(name="cnt")
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["token", "cnt"]], want[["token", "cnt"]], check_dtype=False
+    )
+    assert len(got) == 10  # exactly the planted heavy head
