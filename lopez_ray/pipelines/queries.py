@@ -658,8 +658,7 @@ def _range_join_partition(g):
     merge_asof — no pair materialization."""
     import pandas as pd
 
-    clicks = g[g["event_type"] == "click"]
-    if not len(clicks):
+    if not (g["event_type"] == "click").any():
         return pd.DataFrame(
             {
                 "event_id": pd.Series([], dtype="int64"),
@@ -818,9 +817,22 @@ def q_lang_source_rollup(sf_dir: str):
         )
 
     fine = fine.map_batches(canon, batch_format="pyarrow")
-    fine_tbl = pa.concat_tables(
-        [b for b in fine.iter_batches(batch_format="pyarrow") if b.num_rows]
-    )
+    fine_parts = [
+        b for b in fine.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    if not fine_parts:
+        # empty corpus: no rows at any grain (SQL's empty-input rollup
+        # emits a single NULL-total grand row; never exercised — a loud
+        # empty beats a crash in pa.concat_tables([]))
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "total_chars": pa.array([], pa.int64()),
+            }
+        )
+    fine_tbl = pa.concat_tables(fine_parts)
     # rollup grains from the tiny fine-grain result (|langs|×|sources|)
     import pandas as pd
 
@@ -2794,23 +2806,13 @@ def q_heavy_hitters(sf_dir: str):
     import pandas as pd
     import ray
 
-    from ..stages.text import TOKEN_RE  # noqa: F401  (convention anchor)
+    from ..stages.text import explode_tokens
 
     K = 2000
     ds = _rp(sf_dir, "documents", ["text"])
-    token_re_l = r"[a-z0-9_]+"
 
     def mg_summary(b: pa.Table) -> pa.Table:
-        t = b["text"]
-        if isinstance(t, pa.ChunkedArray):
-            t = t.combine_chunks()
-        import re as _re
-
-        rex = _re.compile(token_re_l)
-        toks: list[str] = []
-        for s in t.to_pylist():
-            if s:
-                toks.extend(rex.findall(s.lower()))
+        _, toks = explode_tokens(b["text"].to_pylist())
         n = len(toks)
         if not n:
             return pa.table(
@@ -2854,16 +2856,7 @@ def q_heavy_hitters(sf_dir: str):
 
     def recount(b: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)
-        t = b["text"]
-        if isinstance(t, pa.ChunkedArray):
-            t = t.combine_chunks()
-        import re as _re
-
-        rex = _re.compile(token_re_l)
-        toks: list[str] = []
-        for s in t.to_pylist():
-            if s:
-                toks.extend(rex.findall(s.lower()))
+        _, toks = explode_tokens(b["text"].to_pylist())
         empty = pa.table(
             {
                 "gh": pa.array([], pa.int64()),
@@ -2943,37 +2936,37 @@ def q_unigram_logprob(sf_dir: str):
     V = 100_000
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     counts = token_ngram_counts(ds, n=1).materialize()
-    n_total = int(counts.sum("cnt"))
-    vocab = (
-        counts.sort(["cnt", "token"], descending=[True, False])
-        .limit(V)
-        .to_pandas()
-    )
-    order = np.argsort(vocab["token"].to_numpy())
-    toks_sorted = vocab["token"].to_numpy()[order].astype(str)
-    logp_sorted = np.log(
-        vocab["cnt"].to_numpy()[order].astype(np.float64) / float(n_total)
-    )
+    raw_total = counts.sum("cnt")  # None on an empty counts dataset
+    n_total = int(raw_total) if raw_total is not None else 0
+    if n_total:
+        vocab = (
+            counts.sort(["cnt", "token"], descending=[True, False])
+            .limit(V)
+            .to_pandas()
+        )
+        order = np.argsort(vocab["token"].to_numpy())
+        toks_sorted = vocab["token"].to_numpy()[order].astype(str)
+        logp_sorted = np.log(
+            vocab["cnt"].to_numpy()[order].astype(np.float64) / float(n_total)
+        )
+    else:
+        # tokenless corpus: the empty counts dataset is schema-less, so
+        # the sort/column path above would KeyError — empty LUT instead
+        toks_sorted = np.array([], dtype=str)
+        logp_sorted = np.array([], dtype=np.float64)
     lut_ref = ray.put((toks_sorted, logp_sorted))
 
-    import re as _re
-
-    token_re = _re.compile(r"[a-z0-9_]+")
+    from ..stages.text import explode_tokens
 
     def score(b: pa.Table) -> pa.Table:
         keys, logp = ray.get(lut_ref)
         doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        all_toks: list[str] = []
-        offsets = [0]
-        keep_docs: list[int] = []
-        for i, text in enumerate(b["text"].to_pylist()):
-            t = token_re.findall(text.lower()) if text else []
-            if not t:
-                continue  # tokenless docs are absent from the SQL side too
-            keep_docs.append(i)
-            all_toks.extend(t)
-            offsets.append(len(all_toks))
-        if not keep_docs:
+        doc_idx, all_toks = explode_tokens(b["text"].to_pylist())
+        # tokenless docs are absent from the SQL side too; doc_idx is
+        # ascending by construction, so the unique indices double as
+        # per-doc segment starts for reduceat
+        keep_docs, starts = np.unique(doc_idx, return_index=True)
+        if not len(keep_docs):
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
@@ -2989,7 +2982,6 @@ def q_unigram_logprob(sf_dir: str):
         else:  # empty vocabulary → everything OOV (logp[-1] would raise)
             hit = np.zeros(len(arr), bool)
             tok_lp = np.zeros(len(arr), np.float64)
-        starts = np.array(offsets[:-1], dtype=np.int64)
         lp = np.add.reduceat(tok_lp, starts)
         oov = np.add.reduceat((~hit).astype(np.int64), starts)
         return pa.table(
@@ -3064,28 +3056,17 @@ def q_orders_anti_join(sf_dir: str):
 
     from ..stages.shuffle import partitioned_lookup_join
 
-    marker = (
-        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "o_custkey": b.filter(
-                        pc.equal(b["c_mktsegment"], "BUILDING")
-                    )["c_custkey"],
-                }
-            ).append_column(
-                "in_seg",
-                pa.array(
-                    np.ones(
-                        len(
-                            b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
-                        ),
-                        np.int64,
-                    )
-                ),
-            ),
-            batch_format="pyarrow",
+    def building_keys(b: pa.Table) -> pa.Table:
+        seg = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        return pa.table(
+            {
+                "o_custkey": seg["c_custkey"],
+                "in_seg": pa.array(np.ones(seg.num_rows, np.int64)),
+            }
         )
+
+    marker = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        building_keys, batch_format="pyarrow"
     )
     joined = partitioned_lookup_join(ds, marker, ["o_custkey"], how="left")
     return joined.map_batches(

@@ -522,6 +522,19 @@ def image_format_stats(corpus_ds, batch_size: int = 64, concurrency: int = 2):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        # a NULL payload passes DecodeStage(strict) with decode_ok=False
+        # (strict only raises on NotImplementedError); counting such a
+        # row in n_images while its null dims silently drop out of
+        # sum_px would diverge from the oracle's per-row w·h sum — this
+        # stage is billed as a whole-corpus parity check, so fail LOUD
+        bad = pc.sum(
+            pc.cast(pc.invert(pc.fill_null(batch["decode_ok"], False)), pa.int64())
+        ).as_py()
+        if bad:
+            raise ValueError(
+                f"image_format_stats: {bad} rows failed to decode; the "
+                "per-format sums would silently diverge from the corpus"
+            )
         nbytes = pc.binary_length(
             batch["bytes"].cast(pa.large_binary())
         ).cast(pa.int64())

@@ -17,6 +17,23 @@ import pyarrow.compute as pc
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
 PUNCT_RE = r"[^\w\s]"
+
+_TOKEN_RE_C = re.compile(TOKEN_RE)
+
+
+def explode_tokens(texts: list) -> tuple[np.ndarray, list[str]]:
+    """The ONE corpus tokenize convention (lowercase + ``TOKEN_RE``)
+    shared by the wordcount / tf-idf / repetition / heavy-hitters /
+    unigram-LM paths: returns (doc_idx int64 array, tokens list) for a
+    batch of texts. None/empty texts contribute no tokens (callers that
+    must mirror SQL NULL semantics handle the null mask themselves)."""
+    doc_idx: list[int] = []
+    toks: list[str] = []
+    for i, s in enumerate(texts):
+        found = _TOKEN_RE_C.findall(s.lower()) if s else []
+        doc_idx.extend([i] * len(found))
+        toks.extend(found)
+    return np.array(doc_idx, dtype=np.int64), toks
 STOPWORDS = (
     "the a an and or of to in is are was were be been it this that for on "
     "with as at by from not"
@@ -402,18 +419,11 @@ def token_tf_df(ds, text_col: str = "text"):
     from ..hash import md5_u64_batch
     from .shuffle import partitioned_reduce
 
-    token_re = re.compile(r"[a-z0-9_]+")
-
     def partial(batch: pa.Table) -> pa.Table:
         # tokenize per doc (inherently scalar), then ONE vectorized
         # (doc, token) groupby for the whole batch — no per-document
         # pandas objects on the hot path
-        doc_idx: list[int] = []
-        toks: list[str] = []
-        for i, text in enumerate(batch[text_col].to_pylist()):
-            found = token_re.findall(text.lower()) if text else []
-            doc_idx.extend([i] * len(found))
-            toks.extend(found)
+        doc_idx, toks = explode_tokens(batch[text_col].to_pylist())
         if not toks:
             return pa.table(
                 {
@@ -424,7 +434,7 @@ def token_tf_df(ds, text_col: str = "text"):
                 }
             )
         pairs = pd.DataFrame(
-            {"i": np.array(doc_idx, dtype=np.int64), "t": toks}
+            {"i": doc_idx, "t": toks}
         ).groupby(["t", "i"], as_index=False, sort=False).size()
         agg = pairs.groupby("t", as_index=False, sort=False).agg(
             tf=("size", "sum"), df=("size", "size")
@@ -511,7 +521,10 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     n_tokens is one RE2 kernel pass; the distinct count explodes the
     batch's tokens into one pandas Series and runs a C-speed
-    groupby(doc).nunique() — no per-document Python."""
+    groupby(doc).nunique() — no per-document Python. NULL text
+    propagates as NULL counts (the kernel does this natively and
+    ``pc.subtract`` keeps it — matching the SQL oracle, where
+    regexp_extract_all(NULL) is NULL)."""
     import pandas as pd
 
     t = batch[text_col]
@@ -519,27 +532,19 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         t = t.combine_chunks()
     low = pc.utf8_lower(t)
     n_tokens = pc.count_substring_regex(low, r"[a-z0-9_]+").cast(pa.int64())
-    token_re = re.compile(r"[a-z0-9_]+")
-    texts = low.to_pylist()
-    doc_idx: list[int] = []
-    toks: list[str] = []
-    for i, s in enumerate(texts):
-        found = token_re.findall(s) if s else []
-        doc_idx.extend([i] * len(found))
-        toks.extend(found)
+    doc_idx, toks = explode_tokens(t.to_pylist())
+    n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
     if toks:
-        ser = pd.DataFrame({"i": np.array(doc_idx, dtype=np.int64), "t": toks})
+        ser = pd.DataFrame({"i": doc_idx, "t": toks})
         nd = ser.groupby("i")["t"].nunique()
-        n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
         n_distinct[nd.index.to_numpy()] = nd.to_numpy()
-    else:
-        n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
-    nt = n_tokens.to_numpy(zero_copy_only=False)
+    null_mask = pc.is_null(t).to_numpy(zero_copy_only=False)
+    n_distinct_arr = pa.array(n_distinct, pa.int64(), mask=null_mask)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "n_tokens": n_tokens,
-            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
-            "n_dup_tokens": pa.array(nt - n_distinct, pa.int64()),
+            "n_distinct_tokens": n_distinct_arr,
+            "n_dup_tokens": pc.subtract(n_tokens, n_distinct_arr),
         }
     )

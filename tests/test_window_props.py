@@ -251,3 +251,27 @@ def test_heavy_hitters_mg_compression_exact(ray_session, tmp_path):
         got[["token", "cnt"]], want[["token", "cnt"]], check_dtype=False
     )
     assert len(got) == 10  # exactly the planted heavy head
+
+
+def test_text_stats_null_text_propagates():
+    """NULL text must propagate as NULL counts (the SQL oracles'
+    regexp_extract_all(NULL) semantics) — not crash (review finding:
+    the int64 cast of a NaN-bearing difference raised ArrowInvalid)
+    and not silently read as zero."""
+    import pyarrow as pa
+
+    from lopez_ray.stages.text import gopher_stats, repetition_stats
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a a b", None, ""], pa.string()),
+        }
+    )
+    rep = repetition_stats(b).to_pydict()
+    assert rep["n_tokens"] == [3, None, 0]
+    assert rep["n_distinct_tokens"] == [2, None, 0]
+    assert rep["n_dup_tokens"] == [1, None, 0]
+    gop = gopher_stats(b).to_pydict()
+    assert gop["n_words"] == [3, None, 0]
+    assert gop["keep"] == [False, None, False]
