@@ -1941,6 +1941,72 @@ def q_ann_ivf(sf_dir: str):
     return pa.Table.from_pandas(ivf, preserve_index=False)
 
 
+def q_label_centroids(sf_dir: str):
+    """VECTOR aggregate: the per-label mean embedding (class centroids —
+    the building block of nearest-centroid classification and k-means
+    init). Per batch: ONE matrix sum per label present (numpy add.at on
+    the (labels × dim) partial), so the shuffle carries
+    O(labels × dim) floats per batch, never vectors. Output is long
+    (label, dim, mean_val) — SQL can mirror it with a range cross join
+    over the dimension index."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = _vecs_of(b, "embedding")
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), vecs.shape[1]), np.float64)
+        np.add.at(sums, inv, vecs)
+        cnts = np.bincount(inv).astype(np.int64)
+        dim = vecs.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq)),
+                    pa.int64(),
+                ),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnts, dim), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s_sum"), Sum("n", alias_name="n_sum"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s_sum"].to_numpy(zero_copy_only=False)
+        n = b["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": b["label"].cast(pa.int64()),
+                "dim": b["dim"].cast(pa.int64()),
+                "mean_val": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LABEL_CENTROIDS = """
+with exploded as (
+  select label,
+         unnest(generate_series(1, len(embedding))) as dim,
+         unnest(embedding::double[]) as val
+  from embeddings
+)
+select cast(label as bigint) as label,
+       cast(dim as bigint) as dim,
+       round(avg(val), 6) as mean_val
+from exploded group by 1, 2
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     """Random-hyperplane LSH top-k (the bucketed ANN variant next to
     IVF): 16 six-bit sign-signature tables; candidates = corpus rows
@@ -3237,6 +3303,7 @@ QUERIES = {
     "embedding_pair_truth": q_embedding_pair_truth,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "label_centroids": q_label_centroids,
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_image_dedup": q_crawl_image_dedup,
@@ -3287,6 +3354,7 @@ ORACLES = {
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "embedding_norms": SQL_EMBEDDING_NORMS,
+    "label_centroids": SQL_LABEL_CENTROIDS,
     "langid": _sql_langid(),
     "quality": _sql_quality(),
     "curate": _sql_curate(),
