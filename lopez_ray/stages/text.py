@@ -21,18 +21,28 @@ PUNCT_RE = r"[^\w\s]"
 _TOKEN_RE_C = re.compile(TOKEN_RE)
 
 
-def explode_tokens(texts: list) -> tuple[np.ndarray, list[str]]:
+def explode_tokens(
+    texts: list, already_lower: bool = False
+) -> tuple[np.ndarray, list[str]]:
     """The ONE corpus tokenize convention (lowercase + ``TOKEN_RE``)
     shared by the wordcount / tf-idf / repetition / heavy-hitters /
     unigram-LM paths: returns (doc_idx int64 array, tokens list) for a
     batch of texts. None/empty texts contribute no tokens (callers that
-    must mirror SQL NULL semantics handle the null mask themselves)."""
+    must mirror SQL NULL semantics handle the null mask themselves).
+    Pass ``already_lower=True`` when the batch went through
+    ``pc.utf8_lower`` — skips a second Python-side lower pass."""
     doc_idx: list[int] = []
     toks: list[str] = []
-    for i, s in enumerate(texts):
-        found = _TOKEN_RE_C.findall(s.lower()) if s else []
-        doc_idx.extend([i] * len(found))
-        toks.extend(found)
+    if already_lower:
+        for i, s in enumerate(texts):
+            found = _TOKEN_RE_C.findall(s) if s else []
+            doc_idx.extend([i] * len(found))
+            toks.extend(found)
+    else:
+        for i, s in enumerate(texts):
+            found = _TOKEN_RE_C.findall(s.lower()) if s else []
+            doc_idx.extend([i] * len(found))
+            toks.extend(found)
     return np.array(doc_idx, dtype=np.int64), toks
 STOPWORDS = (
     "the a an and or of to in is are was were be been it this that for on "
@@ -532,7 +542,7 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         t = t.combine_chunks()
     low = pc.utf8_lower(t)
     n_tokens = pc.count_substring_regex(low, r"[a-z0-9_]+").cast(pa.int64())
-    doc_idx, toks = explode_tokens(t.to_pylist())
+    doc_idx, toks = explode_tokens(low.to_pylist(), already_lower=True)
     n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
     if toks:
         ser = pd.DataFrame({"i": doc_idx, "t": toks})
