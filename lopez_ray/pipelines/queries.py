@@ -2220,6 +2220,34 @@ def q_crawl_image_keep_best(sf_dir: str):
     return image_dedup_keep_best(_fetched_image_corpus(sf_dir), max_hamming=6)
 
 
+def q_crawl_image_curate(sf_dir: str):
+    """The FULL production composition: fetched images → decoded
+    size/aspect curation (min-side ≥ 32, aspect ≤ 2) → phash clusters
+    AMONG THE CURATED SURVIVORS → best-resolution keeper per cluster.
+    One hash checks fetch + decode-dims parity + the curation gate +
+    clustering + the keeper choice together (the crawl-sim oracle with
+    the dims WHERE folded into the fetched-corpus CTE). The curate
+    stage passes bytes/fmt through so the clustering stage consumes
+    survivors directly; the two stages decode independently — at
+    production scale fuse them via ``corpus_pipeline``'s decode-once
+    layout, kept separate here for stage composability."""
+    from ..stages.multimodal import image_curate, image_dedup_keep_best
+
+    curated = image_curate(
+        _fetched_image_corpus(sf_dir),
+        min_side=32,
+        max_aspect_num=2,
+        keep_cols=["bytes", "fmt"],
+    )
+    # map_batches projection, not select_columns: the curate chain's
+    # schema isn't resolvable without executing it
+    survivors = curated.map_batches(
+        lambda b: b.select(["image_id", "bytes", "fmt"]),
+        batch_format="pyarrow",
+    )
+    return image_dedup_keep_best(survivors, max_hamming=6)
+
+
 def q_crawl_pagerank(sf_dir: str):
     """Reference-parity PageRank (single-process numpy engine) over the
     crawl's closed→closed ahref edges. Edge harvesting is the shared
@@ -3308,6 +3336,7 @@ QUERIES = {
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_image_dedup": q_crawl_image_dedup,
     "crawl_image_keep_best": q_crawl_image_keep_best,
+    "crawl_image_curate": q_crawl_image_curate,
     "multimodal_decode": q_multimodal_decode,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
@@ -3475,7 +3504,7 @@ def _crawl_oracle_sqls() -> dict[str, str]:
         "select page_id, rank "
         f"from read_parquet('{arts['pagerank']}') order by page_id"
     )
-    def crawl_img_source(extra_cols: str = "") -> str:
+    def crawl_img_source(extra_cols: str = "", extra_where: str = "") -> str:
         return f"""fetched as (
   select distinct w.image_id
   from read_parquet('{arts['status']}') s
@@ -3487,16 +3516,25 @@ c as (
   select c0.image_id, c0.phash{extra_cols}
   from read_parquet('{paths['corpus']}') c0
   join fetched using (image_id)
+  {extra_where}
 )"""
 
     crawl_img_sql = _phash_keeper_closure_sql(crawl_img_source())
     crawl_keep_best_sql = _phash_keep_best_sql(crawl_img_source(", c0.w, c0.h"))
+    curate_where = (
+        "where least(c0.w, c0.h) >= 32 "
+        "and greatest(c0.w, c0.h) <= 2 * least(c0.w, c0.h)"
+    )
+    crawl_curate_sql = _phash_keep_best_sql(
+        crawl_img_source(", c0.w, c0.h", curate_where)
+    )
     return {
         "crawl_bfs": status_sql,
         "crawl_pagerank": rank_sql,
         "pagerank_distributed": rank_sql,
         "crawl_image_dedup": crawl_img_sql,
         "crawl_image_keep_best": crawl_keep_best_sql,
+        "crawl_image_curate": crawl_curate_sql,
     }
 
 

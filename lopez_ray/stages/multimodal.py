@@ -283,7 +283,22 @@ def _phash_cluster_members(
     ).map_batches(
         lambda b: b.rename_columns(["kid", "group_kid"]),
         batch_format="pyarrow",
-    )
+    ).materialize()  # O(dup nodes) — small by construction
+    if labels.count() == 0:
+        # no near-dup pairs at all (e.g. curation filtered every twin):
+        # every image is its own singleton group. Ray drops empty
+        # output blocks, so the labels dataset here is SCHEMA-LESS and
+        # the partitioned join below would crash resolving it.
+        def selfgroup(b: pa.Table) -> pa.Table:
+            cols = {
+                "group_kid": b["kid"].cast(pa.int64()),
+                "image_id": b["image_id"],
+            }
+            if with_px:
+                cols["px"] = b["px"].cast(pa.int64())
+            return pa.table(cols)
+
+        return mapping.map_batches(selfgroup, batch_format="pyarrow")
     joined = partitioned_lookup_join(mapping, labels, ["kid"], how="left")
 
     def with_group(b: pa.Table) -> pa.Table:
@@ -374,13 +389,16 @@ def image_curate(
     max_aspect_num: int = 2,
     batch_size: int = 64,
     concurrency: int = 2,
+    keep_cols: list | None = None,
 ):
     """LAION-style image curation filter: decode the payload and keep
     images whose DECODED dimensions satisfy min(w, h) ≥ ``min_side``
     and max(w, h) ≤ ``max_aspect_num`` × min(w, h) (the aspect gate is
     integer arithmetic — no float-ratio edge cases to mirror in SQL).
     Rows that fail to decode are dropped (can't be curated). Output:
-    (image_id, dec_w, dec_h, px) for keepers.
+    (image_id, dec_w, dec_h, px) for keepers, plus any ``keep_cols``
+    passed through verbatim (e.g. ``["bytes", "fmt"]`` so a downstream
+    clustering stage can consume the curated survivors directly).
 
     The decision runs on the decoded dims, not stored metadata — a
     corpus with lying metadata is exactly what a curation filter is
@@ -394,6 +412,7 @@ def image_curate(
         num_cpus=0.5,
     )
     decoded = corpus_ds.map_batches(DecodeStage, **opts)
+    passthrough = list(keep_cols or [])
 
     def keep(batch: pa.Table) -> pa.Table:
         # ONE mask, ONE filter: decode_ok ∧ dims gates together
@@ -413,14 +432,15 @@ def image_curate(
             pc.and_kleene(batch["decode_ok"], dims_ok), False
         )
         b = batch.append_column("px", pc.multiply(w, h)).filter(mask)
-        return pa.table(
-            {
-                "image_id": b["image_id"],
-                "dec_w": b["dec_w"].cast(pa.int32()),
-                "dec_h": b["dec_h"].cast(pa.int32()),
-                "px": b["px"],
-            }
-        )
+        cols = {
+            "image_id": b["image_id"],
+            "dec_w": b["dec_w"].cast(pa.int32()),
+            "dec_h": b["dec_h"].cast(pa.int32()),
+            "px": b["px"],
+        }
+        for c in passthrough:
+            cols[c] = b[c]
+        return pa.table(cols)
 
     return decoded.map_batches(keep, batch_format="pyarrow")
 
