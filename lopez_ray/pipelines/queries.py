@@ -2065,6 +2065,71 @@ def q_crawl_bfs(sf_dir: str):
     return read_table(status_path).sort_by("page_id")
 
 
+def q_crawl_host_stats(sf_dir: str):
+    """Per-HOST crawl analytics over the ENGINE's own status table
+    (pages seen, successfully fetched pages, deepest page) — the
+    operational dashboard query every crawl needs. The oracle runs the
+    identical aggregate over the INDEPENDENT single-process sim's
+    status parquet, so one hash checks crawl parity AND the aggregate.
+    Host extraction is two RE2 substitutions mirrored verbatim in
+    SQL; per-batch pyarrow combiner → tiny host-keyed groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    q_crawl_bfs(sf_dir)  # ensure the crawl ran (idempotent)
+    status = rd.read_parquet(
+        os.path.join(_crawl_out_dir(sf_dir), "wave", "status.parquet"),
+        columns=["url", "search_status", "status_code", "depth"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(b["url"], r"^[a-z]+://", ""),
+            r"/.*$",
+            "",
+        )
+        ok = pc.fill_null(
+            pc.and_kleene(
+                pc.equal(b["search_status"], "closed"),
+                pc.equal(b["status_code"], 200),
+            ),
+            False,
+        )
+        t = pa.table(
+            {
+                "host": host,
+                "n_pages": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_ok": ok.cast(pa.int64()),
+                "depth": b["depth"].cast(pa.int64()),
+            }
+        )
+        return t.group_by("host").aggregate(
+            [("n_pages", "sum"), ("n_ok", "sum"), ("depth", "max")]
+        )
+
+    agg = (
+        status.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages_sum", alias_name="n_pages"),
+            Sum("n_ok_sum", alias_name="n_ok"),
+            Max("depth_max", alias_name="max_depth"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b["host"],
+                "n_pages": b["n_pages"].cast(pa.int64()),
+                "n_ok": b["n_ok"].cast(pa.int64()),
+                "max_depth": b["max_depth"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _fetched_image_corpus(sf_dir: str):
     """Shared front half of the north-star compositions: run the
     flagship crawl (same seed list + politeness budget as
@@ -3337,6 +3402,7 @@ QUERIES = {
     "crawl_image_dedup": q_crawl_image_dedup,
     "crawl_image_keep_best": q_crawl_image_keep_best,
     "crawl_image_curate": q_crawl_image_curate,
+    "crawl_host_stats": q_crawl_host_stats,
     "multimodal_decode": q_multimodal_decode,
     "video_frames": q_video_frames,
     "audio_features": q_audio_features,
@@ -3535,6 +3601,14 @@ c as (
         "crawl_image_dedup": crawl_img_sql,
         "crawl_image_keep_best": crawl_keep_best_sql,
         "crawl_image_curate": crawl_curate_sql,
+        "crawl_host_stats": f"""
+select regexp_replace(regexp_replace(url, '^[a-z]+://', ''), '/.*$', '') as host,
+       count(*) as n_pages,
+       cast(sum(case when search_status = 'closed' and status_code = 200
+                     then 1 else 0 end) as bigint) as n_ok,
+       cast(max(depth) as bigint) as max_depth
+from read_parquet('{arts['status']}') group by 1
+""",
     }
 
 

@@ -82,7 +82,7 @@ def _oracled_names():
         "image_dedup", "image_dedup_keep", "crawl_image_dedup",
         "image_keep_best", "image_exact_dedup", "image_curate",
         "image_caption_dedup", "crawl_image_keep_best",
-        "image_format_stats", "crawl_image_curate",
+        "image_format_stats", "crawl_image_curate", "crawl_host_stats",
         # planted-fixture oracles (missing here pre-round-4: the drift
         # guard below now makes this list enforce itself)
         "ann_ivf", "ann_lsh", "embedding_dups",
