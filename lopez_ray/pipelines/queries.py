@@ -867,6 +867,82 @@ group by rollup (lang, source)
 """
 
 
+def q_events_retention(sf_dir: str):
+    """COHORT RETENTION: per activity day, how many active users were
+    also active exactly 7 days later. Per-batch distinct-(user, day)
+    combiner (activity is membership, so distinct partials are
+    lossless), ONE user-keyed partitioned reduce where each partition
+    self-merges its (user, day+7) probe against its own activity set
+    (vectorized pandas merge — whole user-groups co-locate, so the
+    lookup never leaves the partition), then a tiny day-keyed groupby
+    sums the O(days) partials."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        t = pa.table({"user_id": b["user_id"], "day": day, "n": day})
+        return t.group_by(["user_id", "day"]).aggregate([("n", "count")])
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+
+    def retain(g: pd.DataFrame) -> pd.DataFrame:
+        act = g[["user_id", "day"]].drop_duplicates()
+        probe = act.assign(day7=act["day"] + 7)
+        hit = probe.merge(
+            act.rename(columns={"day": "day7"}).assign(_hit=1),
+            on=["user_id", "day7"],
+            how="left",
+        )
+        out = hit.groupby("day", as_index=False).agg(
+            n_active=("day7", "size"), n_retained_7d=("_hit", "count")
+        )
+        return pd.DataFrame(
+            {
+                "day": out["day"].astype("int64"),
+                "n_active": out["n_active"].astype("int64"),
+                "n_retained_7d": out["n_retained_7d"].astype("int64"),
+            }
+        )
+
+    per_part = partitioned_reduce(partials, ["user_id"], retain)
+    agg = per_part.groupby("day").aggregate(
+        Sum("n_active", alias_name="na"), Sum("n_retained_7d", alias_name="nr")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": b["day"].cast(pa.int64()),
+                "n_active": b["na"].cast(pa.int64()),
+                "n_retained_7d": b["nr"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_RETENTION = """
+with act as (
+  select distinct user_id,
+         cast(floor(epoch_us(ts) / 86400000000) as bigint) as day
+  from events
+)
+select a.day,
+       count(*) as n_active,
+       cast(sum(case when b.user_id is not null then 1 else 0 end) as bigint)
+         as n_retained_7d
+from act a
+left join act b on b.user_id = a.user_id and b.day = a.day + 7
+group by a.day
+"""
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-FUNNEL detection: per user, the earliest view, click and
     purchase timestamps, and whether the user completed the strict
@@ -3376,6 +3452,7 @@ QUERIES = {
     "events_rolling": q_events_rolling,
     "events_range_join": q_events_range_join,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "events_pivot": q_events_pivot,
     "lineitem_pricing": q_lineitem_pricing,
     "orders_by_segment": q_orders_by_segment,
@@ -3479,6 +3556,7 @@ ORACLES = {
     "events_rolling": SQL_EVENTS_ROLLING,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "events_pivot": SQL_EVENTS_PIVOT,
     "top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "acctbal_median": SQL_ACCTBAL_MEDIAN,
