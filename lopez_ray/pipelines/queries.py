@@ -741,6 +741,31 @@ group by 1, 2
 """
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_partition(g):
+    """Per-partition long→wide kernel (module-level for the property
+    suite): ``g`` holds (user_id, event_type, n_sum) partials for whole
+    user-groups; returns one row per user with the FIXED five count
+    columns (absent types fill 0, so the schema never varies with the
+    partition's contents)."""
+    import pandas as pd
+
+    m = g.groupby(["user_id", "event_type"], as_index=False).agg(
+        n=("n_sum", "sum")
+    )
+    wide = m.pivot(index="user_id", columns="event_type", values="n")
+    for ty in _PIVOT_TYPES:
+        if ty not in wide.columns:
+            wide[ty] = 0
+    wide = wide.fillna(0).reset_index()
+    out = {"user_id": wide["user_id"].astype("int64")}
+    for ty in _PIVOT_TYPES:
+        out[f"n_{ty}"] = wide[ty].astype("int64")
+    return pd.DataFrame(out)
+
+
 def q_events_pivot(sf_dir: str):
     """PIVOT (long → wide): per user, one column of event counts per
     type. The per-batch combiner counts (user, type) pairs locally, ONE
@@ -748,11 +773,8 @@ def q_events_pivot(sf_dir: str):
     O(users), the shuffle O(users × types). Column order and the
     five type columns are FIXED so the schema is stable even when a
     partition lacks a type."""
-    import pandas as pd
-
     from ..stages.shuffle import partitioned_reduce
 
-    TYPES = ["click", "error", "purchase", "signup", "view"]
     ds = _rp(sf_dir, "events", ["user_id", "event_type"])
 
     def pre(b: pa.Table) -> pa.Table:
@@ -761,22 +783,7 @@ def q_events_pivot(sf_dir: str):
         return t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
 
     partials = ds.map_batches(pre, batch_format="pyarrow")
-
-    def unstack(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(["user_id", "event_type"], as_index=False).agg(
-            n=("n_sum", "sum")
-        )
-        wide = m.pivot(index="user_id", columns="event_type", values="n")
-        for ty in TYPES:
-            if ty not in wide.columns:
-                wide[ty] = 0
-        wide = wide.fillna(0).reset_index()
-        out = {"user_id": wide["user_id"].astype("int64")}
-        for ty in TYPES:
-            out[f"n_{ty}"] = wide[ty].astype("int64")
-        return pd.DataFrame(out)
-
-    return partitioned_reduce(partials, ["user_id"], unstack)
+    return partitioned_reduce(partials, ["user_id"], _pivot_partition)
 
 
 SQL_EVENTS_PIVOT = """
@@ -867,6 +874,33 @@ group by rollup (lang, source)
 """
 
 
+def _retention_partition(g):
+    """Per-partition 7-day retention kernel (module-level for the
+    property suite): ``g`` holds (user_id, day, ...) activity partials
+    for whole user-groups; returns per-day (n_active, n_retained_7d)
+    partials from a self-merge probe at day+7 — the lookup never
+    leaves the partition."""
+    import pandas as pd
+
+    act = g[["user_id", "day"]].drop_duplicates()
+    probe = act.assign(day7=act["day"] + 7)
+    hit = probe.merge(
+        act.rename(columns={"day": "day7"}).assign(_hit=1),
+        on=["user_id", "day7"],
+        how="left",
+    )
+    out = hit.groupby("day", as_index=False).agg(
+        n_active=("day7", "size"), n_retained_7d=("_hit", "count")
+    )
+    return pd.DataFrame(
+        {
+            "day": out["day"].astype("int64"),
+            "n_active": out["n_active"].astype("int64"),
+            "n_retained_7d": out["n_retained_7d"].astype("int64"),
+        }
+    )
+
+
 def q_events_retention(sf_dir: str):
     """COHORT RETENTION: per activity day, how many active users were
     also active exactly 7 days later. Per-batch distinct-(user, day)
@@ -876,8 +910,6 @@ def q_events_retention(sf_dir: str):
     (vectorized pandas merge — whole user-groups co-locate, so the
     lookup never leaves the partition), then a tiny day-keyed groupby
     sums the O(days) partials."""
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     from ..stages.shuffle import partitioned_reduce
@@ -890,27 +922,7 @@ def q_events_retention(sf_dir: str):
         return t.group_by(["user_id", "day"]).aggregate([("n", "count")])
 
     partials = ds.map_batches(pre, batch_format="pyarrow")
-
-    def retain(g: pd.DataFrame) -> pd.DataFrame:
-        act = g[["user_id", "day"]].drop_duplicates()
-        probe = act.assign(day7=act["day"] + 7)
-        hit = probe.merge(
-            act.rename(columns={"day": "day7"}).assign(_hit=1),
-            on=["user_id", "day7"],
-            how="left",
-        )
-        out = hit.groupby("day", as_index=False).agg(
-            n_active=("day7", "size"), n_retained_7d=("_hit", "count")
-        )
-        return pd.DataFrame(
-            {
-                "day": out["day"].astype("int64"),
-                "n_active": out["n_active"].astype("int64"),
-                "n_retained_7d": out["n_retained_7d"].astype("int64"),
-            }
-        )
-
-    per_part = partitioned_reduce(partials, ["user_id"], retain)
+    per_part = partitioned_reduce(partials, ["user_id"], _retention_partition)
     agg = per_part.groupby("day").aggregate(
         Sum("n_active", alias_name="na"), Sum("n_retained_7d", alias_name="nr")
     )
@@ -943,6 +955,45 @@ group by a.day
 """
 
 
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def _funnel_partition(g):
+    """Per-partition funnel kernel (module-level for the property
+    suite): ``g`` holds (user_id, event_type, ts_us_min) partials for
+    whole user-groups; pivots the three stage min-timestamps wide and
+    marks strict view < click < purchase completion; -1 marks a
+    missing stage."""
+    import pandas as pd
+
+    m = g.groupby(["user_id", "event_type"], as_index=False).agg(
+        ts=("ts_us_min", "min")
+    )
+    wide = m.pivot(index="user_id", columns="event_type", values="ts")
+    for st in _FUNNEL_STAGES:
+        if st not in wide.columns:
+            wide[st] = np.nan
+    wide = wide.reset_index()
+    cols = {
+        st: wide[st].fillna(-1).astype("int64").to_numpy()
+        for st in _FUNNEL_STAGES
+    }
+    completed = (
+        (cols["view"] >= 0)
+        & (cols["click"] > cols["view"])
+        & (cols["purchase"] > cols["click"])
+    )
+    return pd.DataFrame(
+        {
+            "user_id": wide["user_id"].astype("int64"),
+            "first_view_us": cols["view"],
+            "first_click_us": cols["click"],
+            "first_purchase_us": cols["purchase"],
+            "completed": completed,
+        }
+    )
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-FUNNEL detection: per user, the earliest view, click and
     purchase timestamps, and whether the user completed the strict
@@ -952,12 +1003,9 @@ def q_events_funnel(sf_dir: str):
     partitioned reduce pivots the three types into columns — the wire
     carries O(users × 3) rows regardless of event volume. Timestamps
     ride as int64 µs with -1 for a missing stage on both sides."""
-    import pandas as pd
-
     from ..stages.shuffle import partitioned_reduce
 
     ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
-    STAGES = ["view", "click", "purchase"]
 
     def pre(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -966,39 +1014,11 @@ def q_events_funnel(sf_dir: str):
                 "event_type": b["event_type"],
                 "ts_us": b["ts"].cast(pa.int64()),
             }
-        ).filter(pc.is_in(b["event_type"], pa.array(STAGES)))
+        ).filter(pc.is_in(b["event_type"], pa.array(_FUNNEL_STAGES)))
         return t.group_by(["user_id", "event_type"]).aggregate([("ts_us", "min")])
 
     partials = ds.map_batches(pre, batch_format="pyarrow")
-
-    def pivot(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(["user_id", "event_type"], as_index=False).agg(
-            ts=("ts_us_min", "min")
-        )
-        wide = m.pivot(index="user_id", columns="event_type", values="ts")
-        for s in STAGES:
-            if s not in wide.columns:
-                wide[s] = np.nan
-        wide = wide.reset_index()
-        cols = {
-            s: wide[s].fillna(-1).astype("int64").to_numpy() for s in STAGES
-        }
-        completed = (
-            (cols["view"] >= 0)
-            & (cols["click"] > cols["view"])
-            & (cols["purchase"] > cols["click"])
-        )
-        return pd.DataFrame(
-            {
-                "user_id": wide["user_id"].astype("int64"),
-                "first_view_us": cols["view"],
-                "first_click_us": cols["click"],
-                "first_purchase_us": cols["purchase"],
-                "completed": completed,
-            }
-        )
-
-    return partitioned_reduce(partials, ["user_id"], pivot)
+    return partitioned_reduce(partials, ["user_id"], _funnel_partition)
 
 
 SQL_EVENTS_FUNNEL = """

@@ -275,3 +275,101 @@ def test_text_stats_null_text_propagates():
     gop = gopher_stats(b).to_pydict()
     assert gop["n_words"] == [3, None, 0]
     assert gop["keep"] == [False, None, False]
+
+
+from lopez_ray.pipelines.queries import (  # noqa: E402
+    _funnel_partition,
+    _pivot_partition,
+    _retention_partition,
+)
+
+PARTIAL_EVENTS = st.lists(
+    st.tuples(
+        USER,
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        st.integers(min_value=0, max_value=200),  # small ts space → ties
+        st.integers(min_value=1, max_value=3),  # partial count
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(rows=PARTIAL_EVENTS)
+@_SETTINGS
+def test_funnel_partition_equals_bruteforce(rows):
+    g = pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": [r[1] for r in rows],
+            "ts_us_min": np.array([r[2] for r in rows], dtype=np.int64),
+        }
+    )
+    g = g[g["event_type"].isin(["view", "click", "purchase"])]
+    if not len(g):
+        return
+    got = sorted(map(tuple, _funnel_partition(g).to_numpy().tolist()))
+    want = []
+    for u in sorted(set(g["user_id"])):
+        rows_u = g[g["user_id"] == u]
+        firsts = {}
+        for st_ in ["view", "click", "purchase"]:
+            sub = rows_u[rows_u["event_type"] == st_]
+            firsts[st_] = int(sub["ts_us_min"].min()) if len(sub) else -1
+        done = (
+            firsts["view"] >= 0
+            and firsts["click"] > firsts["view"]
+            and firsts["purchase"] > firsts["click"]
+        )
+        want.append(
+            (int(u), firsts["view"], firsts["click"], firsts["purchase"], done)
+        )
+    assert got == sorted(want)
+
+
+@given(rows=PARTIAL_EVENTS)
+@_SETTINGS
+def test_pivot_partition_equals_bruteforce(rows):
+    g = pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": [r[1] for r in rows],
+            "n_sum": np.array([r[3] for r in rows], dtype=np.int64),
+        }
+    )
+    got = sorted(map(tuple, _pivot_partition(g).to_numpy().tolist()))
+    want = []
+    for u in sorted(set(g["user_id"])):
+        rows_u = g[g["user_id"] == u]
+        counts = tuple(
+            int(rows_u.loc[rows_u["event_type"] == ty, "n_sum"].sum())
+            for ty in ["click", "error", "purchase", "signup", "view"]
+        )
+        want.append((int(u),) + counts)
+    assert got == sorted(want)
+
+
+ACTIVITY = st.lists(
+    st.tuples(USER, st.integers(min_value=0, max_value=20)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=ACTIVITY)
+@_SETTINGS
+def test_retention_partition_equals_bruteforce(rows):
+    g = pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "day": np.array([r[1] for r in rows], dtype=np.int64),
+        }
+    )
+    got = sorted(map(tuple, _retention_partition(g).to_numpy().tolist()))
+    act = set(map(tuple, g.to_numpy().tolist()))
+    want = {}
+    for u, d in act:
+        na, nr = want.get(d, (0, 0))
+        want[d] = (na + 1, nr + (1 if (u, d + 7) in act else 0))
+    want_rows = sorted((d, na, nr) for d, (na, nr) in want.items())
+    assert got == want_rows
