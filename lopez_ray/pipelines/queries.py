@@ -3046,13 +3046,27 @@ def q_heavy_hitters(sf_dir: str):
     standard sum-then-decrement rule) and then EXACTLY recounted.
 
     Why this is exact: MG with k counters undercounts any token by at
-    most N/(k+1) total across all merges, so every true heavy hitter
-    (freq > N/1000 > N/(k+1) for k=2000) must survive with a positive
-    counter — the candidate set is a guaranteed SUPERSET. Pass 2
-    recounts ONLY the candidates (broadcast set, the hash-prefilter
-    shape) and applies the threshold to exact counts, so a sketch
-    undercount can never change the answer — only cost. Driver state
-    is O(batches × k) summary rows, never O(vocab).
+    most N/(k+1) total across all merges (each batch's decrement mass
+    is ≤ n_batch/(k+1) per token), so for any token t the merged
+    counter satisfies  sum_b c_b(t) ≥ freq(t) − N/(k+1).  A true heavy
+    hitter (freq > N//1000, i.e. freq ≥ N//1000 + 1) therefore keeps a
+    merged counter STRICTLY above  bound = N//1000 − N/(k+1)  — the
+    candidate set {t : sum c(t) > bound} is a guaranteed SUPERSET, and
+    (since the merged counters total ≤ N) holds at most N/bound ≈
+    k tokens once bound > 0. Pass 2 recounts ONLY the candidates
+    (broadcast set, the hash-prefilter shape) and applies the threshold
+    to exact counts, so a sketch undercount can never change the
+    answer — only cost.
+
+    Distribution: the per-batch summaries are merged by ONE
+    ``partitioned_reduce`` (sum counters by token) in the object
+    store; the driver sees only the single sentinel total row and the
+    ≤~k bounded candidate list — never the O(batches × k) summary
+    stream (the round-4 driver ``to_pandas()`` merge grew linearly
+    with corpus block count). Each batch emits its token count on an
+    UNCONDITIONAL sentinel row (token "\\x00total", impossible for
+    real tokens, which match [a-z0-9_]+), so a batch whose compressed
+    summary drains to empty still contributes to N.
 
     The scale story vs ``vocab_topk``: the wordcount's shuffle is
     O(distinct tokens per batch); the sketch pass ships at most k rows
@@ -3061,52 +3075,76 @@ def q_heavy_hitters(sf_dir: str):
     import pandas as pd
     import ray
 
+    from ..hash import md5_u64_batch
+    from ..stages.shuffle import partitioned_reduce
     from ..stages.text import explode_tokens
 
     K = 2000
+    SENT = "\x00total"  # real tokens are [a-z0-9_]+ — NUL can't occur
     ds = _rp(sf_dir, "documents", ["text"])
 
     def mg_summary(b: pa.Table) -> pa.Table:
         _, toks = explode_tokens(b["text"].to_pylist())
         n = len(toks)
-        if not n:
-            return pa.table(
-                {
-                    "token": pa.array([], pa.string()),
-                    "c": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        vc = pd.Series(toks).value_counts()
+        vc = pd.Series(toks).value_counts() if n else pd.Series([], dtype=np.int64)
         if len(vc) > K:
             d = int(vc.iloc[K])  # (K+1)-th largest
             vc = (vc - d).iloc[:K]
             vc = vc[vc > 0]
-        # the batch token count rides on the FIRST row so the driver
-        # can total N without a separate pass
-        n_col = np.zeros(len(vc), np.int64)
-        if len(n_col):
-            n_col[0] = n
+        # sentinel row rides UNCONDITIONALLY (even when the compressed
+        # summary is empty) so the batch's token count is never lost
+        tokens = np.append(vc.index.to_numpy(dtype=object), SENT)
+        c = np.append(vc.to_numpy(np.int64), 0)
+        n_col = np.zeros(len(tokens), np.int64)
+        n_col[-1] = n
+        gh = md5_u64_batch([t.encode() for t in tokens]).view(np.int64)
         return pa.table(
             {
-                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-                "c": pa.array(vc.to_numpy(np.int64), pa.int64()),
+                "gh": pa.array(gh, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "c": pa.array(c, pa.int64()),
                 "n": pa.array(n_col, pa.int64()),
             }
         )
 
-    summaries = ds.map_batches(mg_summary, batch_format="pyarrow").to_pandas()
-    n_total = int(summaries["n"].sum())
-    # driver-side MG merge: sum counters, then compress to K via the
-    # decrement rule (associative; input is O(batches × K) rows)
-    merged = summaries.groupby("token", as_index=False).agg(c=("c", "sum"))
-    if len(merged) > K:
-        merged = merged.sort_values("c", ascending=False, kind="stable")
-        d = int(merged["c"].iloc[K])
-        merged["c"] = merged["c"] - d
-        merged = merged[merged["c"] > 0]
+    # distributed MG merge: ONE hash exchange summing counters (and the
+    # sentinel's n) by token; output refs stay in the object store
+    merged = partitioned_reduce(
+        ds.map_batches(mg_summary, batch_format="pyarrow"),
+        ["gh"],
+        lambda g: g.groupby("token", as_index=False).agg(
+            c=("c", "sum"), n=("n", "sum")
+        ),
+    )
+    # the ONLY driver-visible rows: the sentinel total (exactly 1 row)
+    # and the bounded candidate list (≤ ~K once bound > 0)
+    sent_rows = merged.map_batches(
+        lambda b: b.filter(pc.equal(b["token"], SENT)).select(["n"]),
+        batch_format="pyarrow",
+    ).take_all()
+    n_total = int(sum(r["n"] for r in sent_rows))
     threshold = n_total // 1000
-    candidates = np.sort(merged["token"].to_numpy(dtype=str))
+    bound = threshold - n_total / (K + 1)  # see docstring superset proof
+
+    def cand_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(b["token"], SENT),
+            pc.greater(pc.cast(b["c"], pa.float64()), pa.scalar(bound)),
+        )
+        return b.filter(keep).select(["token"])
+
+    cand_rows = merged.map_batches(cand_filter, batch_format="pyarrow").take_all()
+    if not cand_rows:
+        # schema-bearing empty result (a reduce over zero candidate
+        # rows would otherwise come back schema-less)
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        )
+    candidates = np.sort(np.array([r["token"] for r in cand_rows], dtype=str))
     cand_ref = ray.put(candidates)
 
     def recount(b: pa.Table) -> pa.Table:

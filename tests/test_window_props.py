@@ -253,6 +253,57 @@ def test_heavy_hitters_mg_compression_exact(ray_session, tmp_path):
     assert len(got) == 10  # exactly the planted heavy head
 
 
+def test_heavy_hitters_drained_summary_still_counts(ray_session, tmp_path):
+    """A batch whose MG compression DRAINS the summary (every token
+    distinct and > K of them: d = 1, vc - 1 drops every row) must still
+    contribute its token count to N. Round-4 rode N on the first
+    summary row, so such a batch silently undercounted N, lowered the
+    threshold, and admitted tokens the true-N oracle rejects; the
+    unconditional sentinel row fixes it. One heavy doc + one
+    all-distinct doc wide enough to flip the answer if N drops."""
+    import os
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # doc A: token "hot" appears 30 times -> cnt 30
+    # doc B: 29_970 distinct singleton tokens (> K=2000, all c=1)
+    # N = 30_000 -> threshold 30 -> "hot" (cnt 30) is NOT > 30: empty
+    # answer. If doc B's count were lost, N=30 -> threshold 0 -> "hot"
+    # would wrongly be emitted.
+    docs = [
+        " ".join(["hot"] * 30),
+        " ".join(f"u{j:05d}" for j in range(29_970)),
+    ]
+    d = tmp_path / "hh2"
+    # one parquet file per doc so the all-singleton doc is its own
+    # read block -> its own mg_summary batch -> the drain engages
+    os.makedirs(d / "documents.parquet", exist_ok=True)
+    for i, txt in enumerate(docs):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i], pa.int64()),
+                    "text": pa.array([txt]),
+                }
+            ),
+            str(d / "documents.parquet" / f"part-{i}.parquet"),
+        )
+
+    from lopez_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["heavy_hitters"](str(d))
+    toks: list[str] = []
+    for s in docs:
+        toks.extend(re.findall(r"[a-z0-9_]+", s.lower()))
+    thr = len(toks) // 1000
+    vc = pd.Series(toks).value_counts()
+    assert set(vc[vc > thr].index) == set()  # true answer IS empty
+    assert got.count() == 0  # the buggy lost-N path emitted "hot" here
+    assert got.schema().names == ["token", "cnt"]
+
+
 def test_text_stats_null_text_propagates():
     """NULL text must propagate as NULL counts (the SQL oracles'
     regexp_extract_all(NULL) semantics) — not crash (review finding:
