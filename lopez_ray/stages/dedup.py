@@ -818,8 +818,79 @@ def _sig_pairs_recursive(
     return ii[first], jj[first], dd[first]
 
 
+def _signature_near_dups_star(
+    sigs_ds, max_hamming: int, id_col: str, sig_col: str
+):
+    """The ``identical_as_star=True`` arm of ``signature_near_dups``:
+    exact signature collapse → banded search over DISTINCT signatures →
+    union of star edges and representative pairs.
+
+    One partitioned reduce on the signature co-locates every identical
+    group whole; each group emits its representative (min id) once for
+    the banded search plus one star-edge row per other member. The
+    collapsed table is materialized because two branches (stars, reps)
+    consume it — it is at most one row per input signature of four
+    int64s, strictly smaller than the band exchange the non-star path
+    ships (n_bands rows per input), so the barrier shrinks peak
+    footprint rather than growing it."""
+    import pandas as pd
+
+    from .shuffle import partitioned_reduce
+
+    slim = sigs_ds.map_batches(
+        lambda b: b.select([id_col, sig_col]), batch_format="pyarrow"
+    )
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby(sig_col)[id_col].transform("min")
+        return pd.DataFrame(
+            {
+                "a": pd.Series(rep.to_numpy(), dtype="int64"),
+                "b": pd.Series(df[id_col].to_numpy(), dtype="int64"),
+                "sig": pd.Series(df[sig_col].to_numpy(), dtype="int64"),
+            }
+        )
+
+    collapsed = partitioned_reduce(slim, [sig_col], collapse).materialize()
+
+    def star_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t["a"], t["b"]))
+        return pa.table(
+            {
+                "a": t["a"].cast(pa.int64()),
+                "b": t["b"].cast(pa.int64()),
+                "hamming": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def rep_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["a"], t["b"]))
+        return pa.table(
+            {id_col: t["a"].cast(pa.int64()), sig_col: t["sig"].cast(pa.int64())}
+        )
+
+    stars = collapsed.map_batches(star_edges, batch_format="pyarrow")
+    reps = collapsed.map_batches(rep_rows, batch_format="pyarrow")
+    rep_pairs = signature_near_dups(
+        reps, max_hamming, id_col=id_col, sig_col=sig_col
+    )
+    if stars.count() == 0:  # collapsed is materialized — this is cheap
+        return rep_pairs
+    return rep_pairs.union(stars)
+
+
 def signature_near_dups(
-    sigs_ds, max_hamming: int = 3, id_col: str = "doc_id", sig_col: str = "simhash"
+    sigs_ds,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    identical_as_star: bool = False,
 ):
     """Exact near-dup pairs among 64-bit signatures by banded blocking:
     the 64 bits split into ``max_hamming+1`` contiguous bands — a pair
@@ -840,8 +911,27 @@ def signature_near_dups(
     bucket is a singleton), so per-bucket Python only ever runs over the
     O(duplicate-cluster) survivor set — the raw
     ``groupby(band,key).map_groups`` shape invoked Python once per
-    OCCUPIED bucket (~262k times at 1M docs) and dominated the wall."""
+    OCCUPIED bucket (~262k times at 1M docs) and dominated the wall.
+
+    ``identical_as_star=True`` (for KEEPER/clustering consumers whose
+    downstream is a connected-components pass, never for pair queries —
+    the all-pairs output IS those queries' contract): identical
+    signatures are collapsed to one representative BEFORE the banded
+    search, the m members of an identical-signature group surface as
+    m-1 STAR edges (rep, member, hamming=0) instead of C(m,2) clique
+    pairs, and cross-group matches surface once per signature pair
+    (rep_a, rep_b) instead of |G_a|x|G_b| times. Components of the
+    star+rep edge graph equal components of the all-pairs graph —
+    every member reaches its rep at distance 0 and reps pair exactly
+    when any cross-group member pair would — so CC labels, keeper
+    choices, and group sizes are unchanged, while a 10^5-copy
+    boilerplate image emits 10^5-1 rows, not ~5x10^9 (VERDICT r4 #2)."""
     import pandas as pd
+
+    if identical_as_star:
+        return _signature_near_dups_star(
+            sigs_ds, max_hamming, id_col=id_col, sig_col=sig_col
+        )
 
     sigs = sigs_ds
     n_bands = max_hamming + 1

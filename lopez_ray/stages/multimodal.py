@@ -275,6 +275,12 @@ def _phash_cluster_members(
         max_hamming,
         id_col="kid",
         sig_col="phash",
+        # keeper path: downstream is CC, so identical-phash groups
+        # (boilerplate logos, re-encoded copies) collapse to a rep +
+        # O(m) star edges instead of C(m,2) clique pairs — components,
+        # keepers, and group sizes are provably unchanged (see
+        # signature_near_dups docstring; pair QUERIES keep all-pairs)
+        identical_as_star=True,
     )
     labels = connected_components(
         pairs.map_batches(

@@ -153,7 +153,13 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     def reduce_part(*chunks):
         got = [t for t in chunks if t is not None and t.num_rows]
         if not got:
-            return None, 0
+            # -1 ("no input at all") vs 0 ("reduced to zero rows"):
+            # a zero-row reduced table still CARRIES THE OUTPUT SCHEMA,
+            # which the driver keeps one of when every partition drains
+            # — downstream stages (unions, joins, schema resolution)
+            # need a schema-bearing empty, and Ray Data warns on
+            # zero-column blocks in a RefBundle (VERDICT r4 #4)
+            return None, -1
         df = pa.concat_tables(got, promote_options="default").to_pandas()
         out = pa.Table.from_pandas(reduce_fn(df), preserve_index=False)
         return out, out.num_rows
@@ -184,7 +190,11 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     # only the per-partition ROW COUNTS touch the driver; the reduced
     # tables stay in the object store and flow into the Dataset by ref
     counts = ray.get(cnt_refs)
-    keep = [r for r, c in zip(tbl_refs, counts) if c]
+    keep = [r for r, c in zip(tbl_refs, counts) if c > 0]
+    if not keep:
+        # every partition reduced to zero rows: keep ONE schema-bearing
+        # empty table so the result Dataset still resolves a schema
+        keep = [r for r, c in zip(tbl_refs, counts) if c == 0][:1]
     if not keep:
         return rd.from_items([])
     return rd.from_arrow_refs(keep)
@@ -256,11 +266,17 @@ def partitioned_lookup_join(
         lt = [t for t in chunks[:n_left] if t is not None and t.num_rows]
         rt = [t for t in chunks[n_left:] if t is not None and t.num_rows]
         if not lt:
-            return None, 0
+            return None, -1  # no left input: nothing, not even a schema
         if not rt:
             if how == "inner":
-                return None, 0
-            rt = [right_arrow_schema.empty_table()]
+                # inner join with an empty right side drops every left
+                # row but the joined SCHEMA is still known — emit a
+                # zero-row schema-bearing table (kept by the driver iff
+                # every partition drains; see partitioned_reduce)
+                rt = [right_arrow_schema.empty_table()]
+                lt = [lt[0].slice(0, 0)]
+            else:
+                rt = [right_arrow_schema.empty_table()]
         import pandas as pd
 
         # Integer columns map to pandas NULLABLE dtypes so a left join's
@@ -317,7 +333,9 @@ def partitioned_lookup_join(
         tbl_refs.append(t_ref)
         cnt_refs.append(c_ref)
     counts = ray.get(cnt_refs)
-    keep = [r for r, c in zip(tbl_refs, counts) if c]
+    keep = [r for r, c in zip(tbl_refs, counts) if c > 0]
+    if not keep:
+        keep = [r for r, c in zip(tbl_refs, counts) if c == 0][:1]
     if not keep:
         return rd.from_items([])
     return rd.from_arrow_refs(keep)
