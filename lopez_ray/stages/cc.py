@@ -59,9 +59,37 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .shuffle import _split_table
+from .shuffle import _mix_columns, _split_table
 
 _SCHEMA = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+
+
+def _split_composite(tbl: pa.Table, key_cols, R0: int, k: int):
+    """Hash-split into ``R0 × k`` ranges with the composite id
+    ``(h % R0) * k + (h // R0) % k`` — the id a row lands on when the
+    round-0 exchange (``h % R0`` slots) is escalated by a second-level
+    ``(h // R0) % k`` sub-split (shuffle._escalate_slots). With k=1 this
+    is exactly ``_split_table``. Messages routed with the SAME composite
+    always reach the range that owns the destination node."""
+    if k == 1:
+        return _split_table(tbl, key_cols, R0)
+    n = R0 * k
+    if tbl.num_rows == 0:
+        return tuple(None for _ in range(n))
+    h = _mix_columns(tbl, key_cols)
+    part = (
+        (h % np.uint64(R0)) * np.uint64(k)
+        + (h // np.uint64(R0)) % np.uint64(k)
+    ).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(n + 1))
+    return tuple(
+        sorted_tbl.slice(bounds[b], bounds[b + 1] - bounds[b])
+        if bounds[b + 1] > bounds[b]
+        else None
+        for b in range(n)
+    )
 
 
 def _concat(chunks, schema: pa.Schema) -> pa.Table:
@@ -91,7 +119,7 @@ def connected_components(
     import ray
     import ray.data as rd
 
-    from .shuffle import _streamed_split
+    from .shuffle import _escalate_slots, _streamed_split, _subsplit_factor
 
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
@@ -114,6 +142,28 @@ def connected_components(
         )
         return _split_table(und, ["node"], R)
 
+    # --- round 0: partition edges once (streaming intake) ------------
+    per_slot, n_blocks, total_bytes = _streamed_split(pairs, split_edges, R)
+    if not n_blocks:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
+        )
+    # Scale the range count with the EDGE bytes (×2: split_edges emits
+    # both directions): past R × LOPEZ_PART_CAP_BYTES each slot is
+    # re-split by the second-level hash into k sub-ranges, bounding
+    # per-range edge/label tables at any graph size; R stays the floor.
+    # All message routing below uses the matching composite id.
+    # RE is additionally capped (default 64 ranges) because each BSP
+    # round builds RE×RE chunk matrices and RE-return tasks on the
+    # driver — past that, raise n_ranges itself rather than k.
+    import os as _os
+
+    _re_cap = int(_os.environ.get("LOPEZ_CC_MAX_RANGES", "64"))
+    k = _subsplit_factor(2 * total_bytes, R, max_k=max(1, _re_cap // R))
+    RE = R * k
+    if k > 1:
+        per_slot = _escalate_slots(per_slot, ["node"], R, k)
+
     @ray.remote(num_returns=3)
     def compact_range(*chunks):
         """One edge table + the initial labels for this range's nodes:
@@ -129,12 +179,12 @@ def connected_components(
         labels = pa.Table.from_pandas(lab, preserve_index=False).cast(_SCHEMA)
         return edges, labels, edges.num_rows
 
-    @ray.remote(num_returns=2 * R)
+    @ray.remote(num_returns=2 * RE)
     def gen_messages(edges: pa.Table, labels: pa.Table):
         """Edge-messages (dst=other, lbl) and jump-requests (dst=lbl,
-        src=node), each hash-split by dst into R slices."""
+        src=node), each composite-hash-split by dst into RE slices."""
         if edges.num_rows == 0:
-            return tuple(None for _ in range(2 * R))
+            return tuple(None for _ in range(2 * RE))
         e = edges.to_pandas()
         l = labels.to_pandas()
         m = e.merge(l, on="node", how="left")
@@ -152,9 +202,11 @@ def connected_components(
                 "src": pa.array(jump["node"].to_numpy(), pa.int64()),
             }
         )
-        return _split_table(msgs, ["node"], R) + _split_table(reqs, ["t"], R)
+        return _split_composite(msgs, ["node"], R, k) + _split_composite(
+            reqs, ["t"], R, k
+        )
 
-    @ray.remote(num_returns=R)
+    @ray.remote(num_returns=RE)
     def answer_jumps(labels: pa.Table, *req_chunks):
         """For each request (t, src): reply (node=src, lbl=lbl(t)),
         split by src. t is always a node id owned by this range."""
@@ -162,7 +214,7 @@ def connected_components(
             req_chunks, pa.schema([("t", pa.int64()), ("src", pa.int64())])
         )
         if reqs.num_rows == 0 or labels.num_rows == 0:
-            return tuple(None for _ in range(R))
+            return tuple(None for _ in range(RE))
         r = reqs.to_pandas()
         l = labels.to_pandas().rename(columns={"node": "t"})
         m = r.merge(l, on="t", how="inner")
@@ -172,7 +224,7 @@ def connected_components(
                 "lbl": pa.array(m["lbl"].to_numpy(), pa.int64()),
             }
         )
-        return _split_table(replies, ["node"], R)
+        return _split_composite(replies, ["node"], R, k)
 
     @ray.remote(num_returns=2)
     def min_reduce(labels: pa.Table, *incoming):
@@ -192,14 +244,9 @@ def connected_components(
         changed = int((new["lbl"].to_numpy() < old["lbl"].to_numpy()).sum())
         return pa.Table.from_pandas(new, preserve_index=False).cast(_SCHEMA), changed
 
-    # --- round 0: partition edges once, derive initial labels --------
-    per_slot, n_blocks = _streamed_split(pairs, split_edges, R)
-    if not n_blocks:
-        return rd.from_arrow(
-            pa.table({"node": pa.array([], pa.int64()), "group_id": pa.array([], pa.int64())})
-        )
+    # --- derive initial labels per (possibly escalated) range --------
     edge_refs, label_refs, cnt_refs = [], [], []
-    for r in range(R):
+    for r in range(RE):
         e_ref, l_ref, c_ref = compact_range.remote(*per_slot[r])
         edge_refs.append(e_ref)
         label_refs.append(l_ref)
@@ -211,29 +258,34 @@ def connected_components(
         )
 
     # --- iterate: A (messages) -> B (jump replies) -> C (min) --------
+    # Ranges with NO edges are skipped in every wave: they hold empty
+    # label tables, generate nothing, and (because a node's edges hash
+    # to the node's own range) can never be a message/jump destination.
+    live = [r for r in range(RE) if edge_counts[r]]
     for _ in range(max_rounds):
-        msg_chunks = [[None] * R for _ in range(R)]  # [dst][src]
-        req_chunks = [[None] * R for _ in range(R)]
-        for r in range(R):
-            outs = gen_messages.options(num_returns=2 * R).remote(
+        msg_chunks = [[None] * RE for _ in range(RE)]  # [dst][src]
+        req_chunks = [[None] * RE for _ in range(RE)]
+        for r in live:
+            outs = gen_messages.options(num_returns=2 * RE).remote(
                 edge_refs[r], label_refs[r]
             )
-            for d in range(R):
+            for d in range(RE):
                 msg_chunks[d][r] = outs[d]
-                req_chunks[d][r] = outs[R + d]
-        reply_chunks = [[None] * R for _ in range(R)]
-        for r in range(R):
-            outs = answer_jumps.options(num_returns=R).remote(
+                req_chunks[d][r] = outs[RE + d]
+        reply_chunks = [[None] * RE for _ in range(RE)]
+        for r in live:
+            outs = answer_jumps.options(num_returns=RE).remote(
                 label_refs[r], *req_chunks[r]
             )
-            for d in range(R):
+            for d in range(RE):
                 reply_chunks[d][r] = outs[d]
-        new_labels, changed_refs = [], []
-        for r in range(R):
+        new_labels = list(label_refs)
+        changed_refs = []
+        for r in live:
             l_ref, c_ref = min_reduce.remote(
                 label_refs[r], *msg_chunks[r], *reply_chunks[r]
             )
-            new_labels.append(l_ref)
+            new_labels[r] = l_ref
             changed_refs.append(c_ref)
         label_refs = new_labels
         if sum(ray.get(changed_refs)) == 0:

@@ -21,7 +21,16 @@ overhead per barrier even on kilobyte inputs (measured 3-5 s per
 shuffle at 32 CPUs; four chained shuffles made a 60 ms verify take
 25 s). Same key co-location guarantee, same contract, two task waves.
 
-``n_parts`` scales with the cluster instead of with the data.
+``n_parts`` is the FLOOR of the exchange fan-out, sized for the
+cluster; the effective fan-out grows with the data. The streamed
+intake measures total bytes (free — RefBundle metadata), and when a
+reduce/join partition would exceed ``LOPEZ_PART_CAP_BYTES`` (default
+256 MB) each slot is re-split by a second-level hash
+(``(h // n_parts) % k``) into ``k`` sub-slots — one extra task wave,
+taken only on inputs past ``n_parts × cap`` (~16 GB at defaults), so
+per-partition memory stays bounded at any corpus size while small
+inputs never pay for it. Key co-location is preserved: a key's
+(slot, sub-slot) is a pure function of its hash.
 
 Intake is STREAMING (round-4): split tasks launch per block as the
 producer emits it (``iter_internal_ref_bundles``), so the exchange
@@ -92,7 +101,9 @@ def _streamed_split(ds, split_task, n_slots: int):
     the downstream wave consumes them; peak object-store footprint is
     unchanged (an all-to-all holds every block either way), but the
     wall-clock no longer serializes produce → split. Returns
-    ``(per_slot, n_blocks)``."""
+    ``(per_slot, n_blocks, total_bytes)`` — bytes come free from the
+    RefBundle metadata on the streaming path (0 when unknown, e.g. the
+    materialized A/B path), and size the downstream fan-out."""
     import os
 
     import ray
@@ -103,15 +114,20 @@ def _streamed_split(ds, split_task, n_slots: int):
 
     per_slot: list[list] = [[] for _ in range(n_slots)]
     n_blocks = 0
+    total_bytes = 0
     if os.environ.get("LOPEZ_SHUFFLE_STREAM", "1") != "0":
-        block_iter = (
-            ref
-            for bundle in ds.iter_internal_ref_bundles()
-            for ref in bundle.block_refs
-        )
+
+        def block_iter():
+            nonlocal total_bytes
+            for bundle in ds.iter_internal_ref_bundles():
+                b = bundle.size_bytes()
+                total_bytes += b if b else 0
+                yield from bundle.block_refs
+
+        blocks = block_iter()
     else:
-        block_iter = iter(ds.to_arrow_refs())
-    for ref in block_iter:
+        blocks = iter(ds.to_arrow_refs())
+    for ref in blocks:
         n_blocks += 1
         refs = split_task.options(num_returns=n_slots).remote(ref)
         if n_slots == 1:
@@ -121,7 +137,64 @@ def _streamed_split(ds, split_task, n_slots: int):
             refs = [_first_part.remote(refs)]
         for b, r in enumerate(refs):
             per_slot[b].append(r)
-    return per_slot, n_blocks
+    return per_slot, n_blocks, total_bytes
+
+
+def _subsplit_factor(total_bytes: int, n_slots: int, max_k: int | None = None) -> int:
+    """How many sub-slots each slot needs so no reduce/join partition
+    exceeds ``LOPEZ_PART_CAP_BYTES`` (default 256 MB), assuming even
+    hash spread. 1 (no escalation) until the input passes
+    ``n_slots × cap``; the env knob exists so tests can force the
+    escalated path on kilobyte inputs. Capped at ``max_k`` (default
+    ``LOPEZ_MAX_SUBSPLIT``, 64) so a pathological byte count can't turn
+    one exchange into tens of thousands of sub-slot tasks — past the
+    ceiling, partitions grow beyond the cap again, which is the honest
+    trade (64 × 64 slots × 256 MB ≈ 4 TB per exchange before that)."""
+    import os
+
+    cap = int(os.environ.get("LOPEZ_PART_CAP_BYTES", 256 << 20))
+    if max_k is None:
+        max_k = int(os.environ.get("LOPEZ_MAX_SUBSPLIT", 64))
+    if total_bytes <= 0 or cap <= 0:
+        return 1
+    need = -(-total_bytes // cap)  # ceil: partitions needed overall
+    return min(max_k, max(1, -(-need // n_slots)))
+
+
+def _escalate_slots(per_slot, key_cols, n_slots: int, k: int):
+    """Second-level hash split: each slot's chunks are concatenated and
+    re-partitioned by ``(h // n_slots) % k`` into ``k`` sub-slots (one
+    task per slot, task-to-task through the object store). Returns the
+    new ``n_slots × k`` slot list, each holding ONE chunk ref. A key's
+    sub-slot is a pure function of its hash, so both sides of a join
+    escalated with the same ``k`` still co-locate."""
+    import ray
+
+    @ray.remote
+    def subsplit(*chunks):
+        got = [t for t in chunks if t is not None and t.num_rows]
+        if not got:
+            return tuple(None for _ in range(k))
+        tbl = pa.concat_tables(got, promote_options="default")
+        sub = (
+            (_mix_columns(tbl, key_cols) // np.uint64(n_slots))
+            % np.uint64(k)
+        ).astype(np.int64)
+        order = np.argsort(sub, kind="stable")
+        st = tbl.take(pa.array(order))
+        bounds = np.searchsorted(sub[order], np.arange(k + 1))
+        return tuple(
+            st.slice(bounds[b], bounds[b + 1] - bounds[b])
+            if bounds[b + 1] > bounds[b]
+            else None
+            for b in range(k)
+        )
+
+    out: list[list] = []
+    for s in range(n_slots):
+        refs = subsplit.options(num_returns=k).remote(*per_slot[s])
+        out.extend([r] for r in refs)
+    return out
 
 
 def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
@@ -164,25 +237,32 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
         out = pa.Table.from_pandas(reduce_fn(df), preserve_index=False)
         return out, out.num_rows
 
-    per_slot, n_blocks = _streamed_split(ds, split, n_slots)
+    per_slot, n_blocks, total_bytes = _streamed_split(ds, split, n_slots)
     if not n_blocks:
         return rd.from_items([])
-    # scale the REDUCE fan-out with the input's block count (a free
-    # signal): a toy input in 2 blocks doesn't need 64 reduce tasks'
-    # scheduling latency per barrier (5 chained barriers at sf0.1 paid
-    # ~2-3 s of pure task overhead), while a corpus-sized input (tens
-    # to hundreds of blocks) keeps the full fan-out. Block count is a
-    # size proxy because Ray Data bounds blocks at target_max_block_size
-    # (~128 MB): 2 blocks ⇒ ≤ ~256 MB ⇒ 4 reduce partitions of ~64 MB.
-    # A caller feeding ONE oversized from_arrow() block would collapse
-    # fan-out — every producer in this repo goes through map_batches /
-    # read_parquet, which re-blocks. Whole slots map to one reduce task
-    # (contiguous ranges), so key co-location is preserved.
-    n_reduce = min(n_slots, max(4, 2 * n_blocks))
+    # scale the exchange with the DATA, in both directions:
+    #   up — when even hash spread would leave a reduce partition over
+    #   the byte cap, re-split each slot into k sub-slots (one extra
+    #   task wave, only past ~n_parts × 256 MB), so per-partition
+    #   memory stays bounded at any corpus size;
+    #   down — a toy input in 2 blocks doesn't need 64 reduce tasks'
+    #   scheduling latency per barrier (5 chained barriers at sf0.1
+    #   paid ~2-3 s of pure task overhead). Block count is a size proxy
+    #   because Ray Data bounds blocks at target_max_block_size
+    #   (~128 MB). A caller feeding ONE oversized from_arrow() block
+    #   would under-read the size — every producer in this repo goes
+    #   through map_batches / read_parquet, which re-blocks. Whole
+    #   slots map to one reduce task (contiguous ranges), so key
+    #   co-location is preserved either way.
+    k = _subsplit_factor(total_bytes, n_slots)
+    n_eff = n_slots * k
+    if k > 1:
+        per_slot = _escalate_slots(per_slot, key_cols, n_slots, k)
+    n_reduce = min(n_eff, max(4, 2 * n_blocks))
     tbl_refs, cnt_refs = [], []
     for j in range(n_reduce):
-        lo = j * n_slots // n_reduce
-        hi = (j + 1) * n_slots // n_reduce
+        lo = j * n_eff // n_reduce
+        hi = (j + 1) * n_eff // n_reduce
         chunks = [r for s in range(lo, hi) for r in per_slot[s]]
         t_ref, c_ref = reduce_part.remote(*chunks)
         tbl_refs.append(t_ref)
@@ -316,17 +396,28 @@ def partitioned_lookup_join(
         tbl = pa.table(cols)
         return tbl, tbl.num_rows
 
-    left_slots, n_left_blocks = _streamed_split(left_ds, split, n_slots)
-    right_slots, n_right_blocks = _streamed_split(right_ds, split, n_slots)
+    left_slots, n_left_blocks, left_bytes = _streamed_split(
+        left_ds, split, n_slots
+    )
+    right_slots, n_right_blocks, right_bytes = _streamed_split(
+        right_ds, split, n_slots
+    )
     if not n_left_blocks:
         return rd.from_items([])
-    # adaptive JOIN fan-out, same rationale as partitioned_reduce; whole
+    # adaptive JOIN fan-out, same rationale (and byte cap) as
+    # partitioned_reduce; BOTH sides escalate with the same k so a key
+    # still lands on the same (slot, sub-slot) from either side; whole
     # slots map to one join task so key co-location is preserved
-    n_join = min(n_slots, max(4, 2 * max(n_left_blocks, n_right_blocks)))
+    k = _subsplit_factor(max(left_bytes, right_bytes), n_slots)
+    n_eff = n_slots * k
+    if k > 1:
+        left_slots = _escalate_slots(left_slots, key_cols, n_slots, k)
+        right_slots = _escalate_slots(right_slots, key_cols, n_slots, k)
+    n_join = min(n_eff, max(4, 2 * max(n_left_blocks, n_right_blocks)))
     tbl_refs, cnt_refs = [], []
     for j in range(n_join):
-        lo = j * n_slots // n_join
-        hi = (j + 1) * n_slots // n_join
+        lo = j * n_eff // n_join
+        hi = (j + 1) * n_eff // n_join
         lchunks = [r for s in range(lo, hi) for r in left_slots[s]]
         rchunks = [r for s in range(lo, hi) for r in right_slots[s]]
         t_ref, c_ref = join_part.remote(len(lchunks), *lchunks, *rchunks)

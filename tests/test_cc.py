@@ -132,3 +132,17 @@ def test_curate_neardup_matches_duckdb(ray_session):
     want = want[sorted(want.columns)].astype(got.dtypes.to_dict())
     assert len(got) > 0
     assert got.equals(want)
+
+
+def test_cc_escalated_ranges_match_union_find(ray_session, monkeypatch):
+    """LOPEZ_PART_CAP_BYTES=1 forces the composite second-level range
+    escalation (RE = R*k ranges); labels must equal the plain path."""
+    rng = np.random.default_rng(23)
+    edges = [tuple(map(int, e)) for e in rng.integers(0, 500, size=(400, 2))]
+    edges += [(i, i + 1) for i in range(1000, 1040)]  # a chain component
+    want = _uf_oracle(edges)
+    plain = _run(edges, n_ranges=4)
+    monkeypatch.setenv("LOPEZ_PART_CAP_BYTES", "1")
+    esc = _run(edges, n_ranges=4)
+    assert plain == want
+    assert esc == want

@@ -112,3 +112,73 @@ def test_partitioned_lookup_join_equals_pandas_merge(
         g_rv = [None if pd.isna(x) else int(x) for x in got["rv"]]
         e_rv = [None if pd.isna(x) else int(x) for x in exp["rv"]]
         assert g_rv == e_rv
+
+
+def test_escalated_reduce_matches_unescalated(ray_session, monkeypatch):
+    """Force the second-level sub-split (LOPEZ_PART_CAP_BYTES=1 makes
+    every byte overflow the cap) and check the escalated exchange is
+    output-identical to the normal path and to pandas."""
+    import ray.data as rd
+
+    from lopez_ray.stages.shuffle import partitioned_reduce
+
+    rng = np.random.default_rng(7)
+    k = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    k[::7] = 42  # a hot key spanning many blocks
+    v = rng.integers(-1000, 1000, size=5000, dtype=np.int64)
+    tbl = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    red = lambda g: g.groupby("k", as_index=False).agg(
+        s=("v", "sum"), n=("v", "size")
+    )
+
+    plain = partitioned_reduce(
+        rd.from_arrow(tbl), ["k"], red, n_parts=8
+    ).to_pandas()
+    monkeypatch.setenv("LOPEZ_PART_CAP_BYTES", "1")
+    esc = partitioned_reduce(
+        rd.from_arrow(tbl), ["k"], red, n_parts=8
+    ).to_pandas()
+
+    want = red(pd.DataFrame({"k": k, "v": v}))
+    for got in (plain, esc):
+        g = got.sort_values("k", ignore_index=True).astype("int64")
+        e = want.sort_values("k", ignore_index=True).astype("int64")
+        pd.testing.assert_frame_equal(g[["k", "s", "n"]], e[["k", "s", "n"]])
+
+
+def test_escalated_join_matches_unescalated(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from lopez_ray.stages.shuffle import partitioned_lookup_join
+
+    rng = np.random.default_rng(9)
+    lk = rng.integers(0, 300, size=2000, dtype=np.int64)
+    lt = pa.table(
+        {"k": pa.array(lk), "lv": pa.array(np.arange(2000, dtype=np.int64))}
+    )
+    rk = np.arange(0, 200, dtype=np.int64)  # keys 200..299 miss
+    rt = pa.table({"k": pa.array(rk), "rv": pa.array(rk * 10)})
+
+    def run():
+        return (
+            partitioned_lookup_join(
+                rd.from_arrow(lt), rd.from_arrow(rt), ["k"], how="left", n_parts=8
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"], ignore_index=True)
+        )
+
+    plain = run()
+    monkeypatch.setenv("LOPEZ_PART_CAP_BYTES", "1")
+    esc = run()
+    want = (
+        lt.to_pandas()
+        .merge(rt.to_pandas(), how="left", on="k")
+        .sort_values(["k", "lv"], ignore_index=True)
+    )
+    for got in (plain, esc):
+        assert len(got) == len(want)
+        assert got["k"].tolist() == want["k"].tolist()
+        g_rv = [None if pd.isna(x) else int(x) for x in got["rv"]]
+        e_rv = [None if pd.isna(x) else int(x) for x in want["rv"]]
+        assert g_rv == e_rv
