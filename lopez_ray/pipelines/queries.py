@@ -33,6 +33,15 @@ def _rp(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _day_bucket(ts) -> pa.Array:
+    """Epoch-day bucket with FLOOR semantics, matching every oracle's
+    ``floor(epoch_us/86400000000)`` for pre-1970 (negative) timestamps
+    too — ``pc.divide`` on int64 truncates toward zero, which diverges
+    below day 0. ``ts`` is an Arrow (Chunked)Array of timestamp/int64."""
+    us = np.asarray(ts.cast(pa.int64()))
+    return pa.array(np.floor_divide(us, 86_400_000_000), pa.int64())
+
+
 def _pq_rows(sf_dir: str, table: str) -> int:
     """Row count from parquet FOOTER metadata only — no data read. Used
     by the broadcast-vs-partitioned join gates. Handles both a single
@@ -388,7 +397,7 @@ def q_events_window(sf_dir: str):
     ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        day = _day_bucket(b["ts"])
         t = pa.table(
             {"event_type": b["event_type"], "day": day, "value": b["value"]}
         )
@@ -538,7 +547,10 @@ def q_events_asof(sf_dir: str):
     the classic sorted-merge as-of, no per-user Python. Clicks with no
     prior view emit view_ts_us = -1 (typed sentinel on both sides: a
     nullable int64 round-trips as float64 through pandas and would
-    hash-drift against the oracle's NULL).
+    hash-drift against the oracle's NULL). The sentinel assumes
+    NON-NEGATIVE epochs — a genuine pre-1970 view timestamp of exactly
+    −1 µs would collide; the events generator emits post-2020 data, and
+    the same coalesce(…, -1) rides the oracle so both sides agree.
 
     Output is the matched view's TIMESTAMP (deterministic under
     duplicate view timestamps — any tie has the same ts), not its
@@ -570,8 +582,13 @@ def _rolling_partition(g):
     """Per-partition 7-day rolling-sum kernel (module-level for the
     property suite): ``g`` holds (user_id, day, value_sum) partial rows
     for whole user-groups; returns (user_id, day, roll7) where roll7 is
-    the sum over that user's days in [day-6, day]. Prefix-sum +
-    merge_asof(day-7) difference — fully vectorized."""
+    the sum over that user's days in [day-6, day]. The window members
+    are summed DIRECTLY (six shifted vectorized adds — a user has at
+    most 7 distinct days in a window), not as a prefix-sum difference:
+    cum(day) − cum(day−7) accumulates float error with a user's
+    cumulative total, and at the 10M-event XL tier a large cum can push
+    the difference across the round(…,6) boundary vs the oracle, which
+    sums members. Direct summation bounds the error at 7 terms."""
     import pandas as pd
 
     g = (
@@ -580,32 +597,23 @@ def _rolling_partition(g):
         .sort_values(["user_id", "day"], kind="stable")
         .reset_index(drop=True)
     )
-    g["cum"] = g.groupby("user_id")["v"].cumsum()
-    # merge_asof returns rows in probe-sort order with a FRESH
-    # index — carry the original position explicitly
-    probe = pd.DataFrame(
-        {
-            "user_id": g["user_id"],
-            "qday": g["day"] - 7,
-            "pos": np.arange(len(g), dtype=np.int64),
-        }
-    ).sort_values(["qday"], kind="stable")
-    m = pd.merge_asof(
-        probe,
-        g[["user_id", "day", "cum"]]
-        .rename(columns={"day": "qday", "cum": "prev_cum"})
-        .sort_values("qday", kind="stable"),
-        on="qday",
-        by="user_id",
-        direction="backward",
-        allow_exact_matches=True,
-    ).sort_values("pos", kind="stable")
-    prev = m["prev_cum"].fillna(0.0).to_numpy()
+    u = g["user_id"].to_numpy()
+    d = g["day"].to_numpy()
+    v = g["v"].to_numpy()
+    roll = v.copy()
+    # rows within a user are distinct ascending days, so the window
+    # [day-6, day] spans at most the 6 preceding rows
+    for o in range(1, 7):
+        if o >= len(g):
+            break
+        in_win = (u[o:] == u[:-o]) & (d[o:] - d[:-o] <= 6)
+        tail = roll[o:]  # view — masked += writes through to roll
+        tail[in_win] += v[:-o][in_win]
     return pd.DataFrame(
         {
             "user_id": g["user_id"].astype("int64"),
             "day": g["day"].astype("int64"),
-            "roll7": np.round(g["cum"].to_numpy() - prev, 6),
+            "roll7": np.round(roll, 6),
         }
     )
 
@@ -624,7 +632,7 @@ def q_events_rolling(sf_dir: str):
     ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
 
     def pre(b: pa.Table) -> pa.Table:
-        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        day = _day_bucket(b["ts"])
         t = pa.table({"user_id": b["user_id"], "day": day, "value": b["value"]})
         # per-batch combiner: one row per (user, day) crosses the wire
         return t.group_by(["user_id", "day"]).aggregate([("value", "sum")])
@@ -917,7 +925,7 @@ def q_events_retention(sf_dir: str):
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
 
     def pre(b: pa.Table) -> pa.Table:
-        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        day = _day_bucket(b["ts"])
         t = pa.table({"user_id": b["user_id"], "day": day, "n": day})
         return t.group_by(["user_id", "day"]).aggregate([("n", "count")])
 
@@ -1002,7 +1010,8 @@ def q_events_funnel(sf_dir: str):
     needs FIRST timestamps, so min is a lossless partial), then one
     partitioned reduce pivots the three types into columns — the wire
     carries O(users × 3) rows regardless of event volume. Timestamps
-    ride as int64 µs with -1 for a missing stage on both sides."""
+    ride as int64 µs with -1 for a missing stage on both sides (the
+    sentinel assumes non-negative epochs — see q_events_asof)."""
     from ..stages.shuffle import partitioned_reduce
 
     ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
@@ -2956,7 +2965,7 @@ def q_daily_active_users(sf_dir: str):
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
 
     def pre(b: pa.Table) -> pa.Table:
-        day = pc.divide(b["ts"].cast(pa.int64()), 86_400_000_000).cast(pa.int64())
+        day = _day_bucket(b["ts"])
         t = pa.table({"day": day, "user_id": b["user_id"], "n": day})
         return t.group_by(["day", "user_id"]).aggregate([("n", "count")])
 

@@ -109,8 +109,11 @@ def test_range_join_partition_equals_bruteforce(rows):
 DAILY = st.lists(
     st.tuples(
         USER,
-        st.integers(min_value=0, max_value=25),  # day — tight → windows overlap
-        st.integers(min_value=-50, max_value=50),  # integer values: exact sums
+        # include negative (pre-1970) days: floor-bucketing must hold
+        st.integers(min_value=-12, max_value=25),  # tight → windows overlap
+        # quarter-step floats: exercise the float path while keeping
+        # the brute-force reference exact in any summation order
+        st.integers(min_value=-200, max_value=200).map(lambda n: n / 4.0),
     ),
     min_size=0,
     max_size=60,
