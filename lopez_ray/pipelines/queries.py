@@ -115,12 +115,20 @@ from documents
 
 
 def q_lang_counts(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(sf_dir, "documents", ["lang", "n_chars"])
-    agg = (
-        ds.groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        # per-batch combiner: one row per language crosses the wire
+        return b.group_by("lang").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+
+    agg = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        sums={"n_chars_count": "n_docs", "n_chars_sum": "total_chars"},
     )
 
     # Canonicalizing finish stage (like every other oracled groupby):
@@ -391,8 +399,8 @@ from (
 
 def q_events_window(sf_dir: str):
     """Tumbling 1-day windows per event_type: pre-aggregated per batch
-    (pyarrow group_by) before the global groupby shuffle."""
-    from ray.data.aggregate import Sum
+    (pyarrow group_by) before the tiny partial-sum exchange."""
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -405,13 +413,10 @@ def q_events_window(sf_dir: str):
             [("value", "sum"), ("value", "count")]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(
-            Sum("value_sum", alias_name="total"),
-            Sum("value_count", alias_name="n"),
-        )
+    agg = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        sums={"value_sum": "total", "value_count": "n"},
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -813,12 +818,19 @@ def q_lang_source_rollup(sf_dir: str):
     round-trips). One combiner + one small groupby produces the finest
     grain; the coarser grains re-aggregate THAT (vocab-sized) output —
     no second pass over the corpus."""
-    from ray.data.aggregate import Count, Sum
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(sf_dir, "documents", ["lang", "source", "n_chars"])
-    fine = (
-        ds.groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")]
+        )
+
+    fine = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"],
+        sums={"n_chars_count": "n_docs", "n_chars_sum": "total_chars"},
     )
 
     def canon(b: pa.Table) -> pa.Table:
@@ -918,9 +930,7 @@ def q_events_retention(sf_dir: str):
     (vectorized pandas merge — whole user-groups co-locate, so the
     lookup never leaves the partition), then a tiny day-keyed groupby
     sums the O(days) partials."""
-    from ray.data.aggregate import Sum
-
-    from ..stages.shuffle import partitioned_reduce
+    from ..stages.shuffle import grouped_sum_max, partitioned_reduce
 
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
 
@@ -931,8 +941,8 @@ def q_events_retention(sf_dir: str):
 
     partials = ds.map_batches(pre, batch_format="pyarrow")
     per_part = partitioned_reduce(partials, ["user_id"], _retention_partition)
-    agg = per_part.groupby("day").aggregate(
-        Sum("n_active", alias_name="na"), Sum("n_retained_7d", alias_name="nr")
+    agg = grouped_sum_max(
+        per_part, ["day"], sums={"n_active": "na", "n_retained_7d": "nr"}
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1057,7 +1067,7 @@ from m
 def q_lineitem_pricing(sf_dir: str):
     """Q1-like pricing summary: per-batch pyarrow pre-aggregation, then a
     small groupby shuffle; avg derived from sums at the end."""
-    from ray.data.aggregate import Sum
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(
         sf_dir,
@@ -1088,16 +1098,16 @@ def q_lineitem_pricing(sf_dir: str):
             [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("disc", "sum"), ("qty", "count")]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_sum", alias_name="sum_qty"),
-            Sum("price_sum", alias_name="sum_base_price"),
-            Sum("disc_price_sum", alias_name="sum_disc_price"),
-            Sum("disc_sum", alias_name="_sum_disc"),
-            Sum("qty_count", alias_name="count_order"),
-        )
+    agg = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "qty_sum": "sum_qty",
+            "price_sum": "sum_base_price",
+            "disc_price_sum": "sum_disc_price",
+            "disc_sum": "_sum_disc",
+            "qty_count": "count_order",
+        },
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1151,7 +1161,8 @@ def q_orders_by_segment(sf_dir: str):
     the raw-task hash exchange. Both paths are output-identical
     (tests/test_join_gate.py forces the fallback and compares)."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -1215,9 +1226,10 @@ def q_orders_by_segment(sf_dir: str):
             batch_format="pyarrow",
         )
 
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("price_sum", alias_name="total_price"),
-        Sum("price_count", alias_name="n_orders"),
+    agg = grouped_sum_max(
+        joined,
+        ["c_mktsegment"],
+        sums={"price_sum": "total_price", "price_count": "n_orders"},
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1250,7 +1262,8 @@ def q_suppliers_per_region(sf_dir: str):
     it: per-batch count partials per nationkey, then a partitioned
     hash join against (nationkey, r_name)."""
     import ray
-    from ray.data.aggregate import Count, Sum
+
+    from ..stages.shuffle import grouped_sum_max
 
     region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
@@ -1275,14 +1288,21 @@ def q_suppliers_per_region(sf_dir: str):
             pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
             hit = pa.array(keys[pos] == probe)
             got = vals.take(pa.array(pos, pa.int64()))
-            return pa.table(
-                {"r_name": pc.if_else(hit, got, pa.nulls(len(probe), pa.string()))}
+            t = pa.table(
+                {
+                    "r_name": pc.if_else(
+                        hit, got, pa.nulls(len(probe), pa.string())
+                    ),
+                    "n": pa.array(np.ones(len(probe), np.int64)),
+                }
             )
+            # per-batch combiner: O(regions) rows cross the wire
+            return t.group_by("r_name").aggregate([("n", "sum")])
 
-        return (
-            ds.map_batches(attach, batch_format="pyarrow")
-            .groupby("r_name")
-            .aggregate(Count(alias_name="n_suppliers"))
+        return grouped_sum_max(
+            ds.map_batches(attach, batch_format="pyarrow"),
+            ["r_name"],
+            sums={"n_sum": "n_suppliers"},
         )
 
     from ..stages.shuffle import partitioned_lookup_join
@@ -1305,8 +1325,8 @@ def q_suppliers_per_region(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     joined = partitioned_lookup_join(partials, nation_ds, ["s_nationkey"], how="left")
 
-    agg = joined.groupby("r_name").aggregate(
-        Sum("s_nationkey_count", alias_name="n_suppliers")
+    agg = grouped_sum_max(
+        joined, ["r_name"], sums={"s_nationkey_count": "n_suppliers"}
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1466,7 +1486,7 @@ from (
 def q_parts_by_brand(sf_dir: str):
     """part-table aggregate: partial per-batch pre-agg then small
     groupby; avg derived from sums."""
-    from ray.data.aggregate import Sum
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(sf_dir, "part", ["p_brand", "p_retailprice"])
 
@@ -1474,13 +1494,10 @@ def q_parts_by_brand(sf_dir: str):
         t = pa.table({"p_brand": b["p_brand"], "price": b["p_retailprice"]})
         return t.group_by("p_brand").aggregate([("price", "sum"), ("price", "count")])
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("p_brand")
-        .aggregate(
-            Sum("price_sum", alias_name="_total"),
-            Sum("price_count", alias_name="n_parts"),
-        )
+    agg = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand"],
+        sums={"price_sum": "_total", "price_count": "n_parts"},
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1561,19 +1578,21 @@ select query_idx, vec_id, score from ranked where rn <= 10
 
 def q_embedding_norms(sf_dir: str):
     """Vector norm + label groupby — numeric kernel over list<float>."""
-    from ray.data.aggregate import Count, Sum
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def norms(b: pa.Table) -> pa.Table:
         vecs = _vecs_of(b, "embedding")
         n = np.linalg.norm(vecs, axis=1)
-        return pa.table({"label": b["label"], "norm": pa.array(n, pa.float64())})
+        t = pa.table({"label": b["label"], "norm": pa.array(n, pa.float64())})
+        # per-batch combiner: one row per label crosses the wire
+        return t.group_by("label").aggregate([("norm", "sum"), ("norm", "count")])
 
-    agg = (
-        ds.map_batches(norms, batch_format="pyarrow")
-        .groupby("label")
-        .aggregate(Count(alias_name="n"), Sum("norm", alias_name="norm_total"))
+    agg = grouped_sum_max(
+        ds.map_batches(norms, batch_format="pyarrow"),
+        ["label"],
+        sums={"norm_count": "n", "norm_sum": "norm_total"},
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -2054,7 +2073,7 @@ def q_label_centroids(sf_dir: str):
     O(labels × dim) floats per batch, never vectors. Output is long
     (label, dim, mean_val) — SQL can mirror it with a range cross join
     over the dimension index."""
-    from ray.data.aggregate import Sum
+    from ..stages.shuffle import grouped_sum_max
 
     ds = _rp(sf_dir, "embeddings", ["label", "embedding"])
 
@@ -2078,10 +2097,10 @@ def q_label_centroids(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["label", "dim"])
-        .aggregate(Sum("s", alias_name="s_sum"), Sum("n", alias_name="n_sum"))
+    agg = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        sums={"s": "s_sum", "n": "n_sum"},
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -2179,7 +2198,8 @@ def q_crawl_host_stats(sf_dir: str):
     Host extraction is two RE2 substitutions mirrored verbatim in
     SQL; per-batch pyarrow combiner → tiny host-keyed groupby."""
     import ray.data as rd
-    from ray.data.aggregate import Max, Sum
+
+    from ..stages.shuffle import grouped_sum_max
 
     q_crawl_bfs(sf_dir)  # ensure the crawl ran (idempotent)
     status = rd.read_parquet(
@@ -2212,14 +2232,11 @@ def q_crawl_host_stats(sf_dir: str):
             [("n_pages", "sum"), ("n_ok", "sum"), ("depth", "max")]
         )
 
-    agg = (
-        status.map_batches(partial, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(
-            Sum("n_pages_sum", alias_name="n_pages"),
-            Sum("n_ok_sum", alias_name="n_ok"),
-            Max("depth_max", alias_name="max_depth"),
-        )
+    agg = grouped_sum_max(
+        status.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        sums={"n_pages_sum": "n_pages", "n_ok_sum": "n_ok"},
+        maxes={"depth_max": "max_depth"},
     )
 
     def finish(b: pa.Table) -> pa.Table:

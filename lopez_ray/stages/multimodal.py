@@ -538,7 +538,6 @@ def image_format_stats(corpus_ds, batch_size: int = 64, concurrency: int = 2):
     locally) → tiny global groupby; format cardinality is O(10), so the
     exchange is negligible at any corpus size."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     opts = dict(
         batch_format="pyarrow",
@@ -584,14 +583,16 @@ def image_format_stats(corpus_ds, batch_size: int = 64, concurrency: int = 2):
     decoded = corpus_ds.map_batches(
         DecodeStage, fn_constructor_kwargs={"strict": True}, **opts
     )
-    agg = (
-        decoded.map_batches(partial, batch_format="pyarrow")
-        .groupby("fmt")
-        .aggregate(
-            Sum("n_images_sum", alias_name="n_images"),
-            Sum("total_bytes_sum", alias_name="total_bytes"),
-            Sum("sum_px_sum", alias_name="sum_px"),
-        )
+    from .shuffle import grouped_sum_max
+
+    agg = grouped_sum_max(
+        decoded.map_batches(partial, batch_format="pyarrow"),
+        ["fmt"],
+        sums={
+            "n_images_sum": "n_images",
+            "total_bytes_sum": "total_bytes",
+            "sum_px_sum": "sum_px",
+        },
     )
 
     def finish(b: pa.Table) -> pa.Table:

@@ -54,7 +54,16 @@ def _mix_columns(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     with np.errstate(over="ignore"):
         for c in key_cols:
             v = batch[c].to_numpy(zero_copy_only=False)
-            v = v.astype(np.int64, copy=False).view(np.uint64)
+            if v.dtype.kind in "iu":
+                v = v.astype(np.int64, copy=False).view(np.uint64)
+            else:
+                # string/float/bool keys: vectorized C-speed SipHash
+                # with pandas' FIXED default key — deterministic across
+                # workers and runs, so both sides of a join agree. None
+                # hashes as its own stable value (null keys co-locate).
+                import pandas as pd
+
+                v = pd.util.hash_array(v, categorize=False).astype(np.uint64)
             h = h * _PHI + v
         # finalizer so low-entropy keys still spread over parts
         h ^= h >> np.uint64(33)
@@ -66,8 +75,9 @@ def _split_table(tbl: pa.Table, key_cols: list[str], n_parts: int):
     """Hash-partition one Arrow block on ``key_cols`` into ``n_parts``
     slices (None for empty slices). Shared by ``partitioned_reduce`` and
     ``partitioned_lookup_join`` so both sides of a join land on the same
-    partition for the same key. Key columns must be integer-typed and
-    non-null (the mixer views them as int64)."""
+    partition for the same key. Integer keys hash zero-copy (viewed as
+    int64); string/float/bool keys (and nulls) go through a vectorized
+    deterministic hash — see ``_mix_columns``."""
     if tbl.num_rows == 0:
         return tuple(None for _ in range(n_parts))
     missing = [c for c in key_cols if c not in tbl.column_names]
@@ -278,6 +288,28 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     if not keep:
         return rd.from_items([])
     return rd.from_arrow_refs(keep)
+
+
+def grouped_sum_max(partials, key_cols, sums: dict, maxes: dict | None = None,
+                    n_parts: int = 16):
+    """Final merge of per-batch combiner partials: per key-group, SUM
+    every ``sums`` source column and MAX every ``maxes`` source column,
+    renaming ``src → dst``. Replaces ``Dataset.groupby().aggregate()``
+    — Ray's sort-based all-to-all both over-moves data for the
+    low-cardinality keys these partials have (O(groups) rows per batch)
+    and emits zero-column blocks when output partitions outnumber
+    groups, tripping the executor's "different schema … new schema: ."
+    warning. ``partitioned_reduce`` keeps empties schema-bearing and
+    ships only the partial rows. Null keys form their own group
+    (``dropna=False``), matching SQL GROUP BY and pyarrow group_by."""
+    maxes = maxes or {}
+
+    def red(df):
+        spec = {dst: (src, "sum") for src, dst in sums.items()}
+        spec.update({dst: (src, "max") for src, dst in maxes.items()})
+        return df.groupby(key_cols, as_index=False, dropna=False).agg(**spec)
+
+    return partitioned_reduce(partials, key_cols, red, n_parts=n_parts)
 
 
 def _partitioned_reduce_sort(ds, key_cols, reduce_fn, n_parts: int = 64):
