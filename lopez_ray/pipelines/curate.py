@@ -172,11 +172,34 @@ def curate(
     return curated
 
 
+def _checkpoint_parquet(ds, ckpt_dir: str):
+    """Stage a Dataset to partitioned parquet with the same atomic
+    tmp→rename commit as ``curate(out_dir=)`` and return a re-read
+    Dataset. A finished checkpoint (``_DONE`` marker) is reused
+    wholesale, so a killed run resumes past the checkpointed stage."""
+    import shutil
+
+    import ray.data as rd
+
+    ckpt_dir = ckpt_dir.rstrip("/")
+    if not os.path.exists(os.path.join(ckpt_dir, "_DONE")):
+        tmp_dir = ckpt_dir + ".__staging__"
+        for stale in (tmp_dir, ckpt_dir):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        ds.write_parquet(tmp_dir)
+        with open(os.path.join(tmp_dir, "_DONE"), "w") as f:
+            f.write("ok")
+        os.rename(tmp_dir, ckpt_dir)
+    return rd.read_parquet(ckpt_dir)
+
+
 def curate_neardup(
     sf_dir: str,
     min_quality: float = 0.35,
     langs: tuple[str, ...] = ("en", "fr", "es", "de"),
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ):
     """NEAR-dup-aware curation: quality + language filter, then keep ONE
     document per near-duplicate CLUSTER (MinHash-LSH candidates →
@@ -191,10 +214,12 @@ def curate_neardup(
     exist only for docs in ≥1 pair), then a partitioned LEFT join of
     the survivor metadata against the labels; null label = singleton =
     keeper. The survivor lineage is consumed by BOTH the pair side and
-    the metadata side — Ray re-executes it rather than materializing an
-    O(corpus) table (at real scale you would checkpoint the filtered
-    corpus to parquet between the two, exactly like ``curate(out_dir=)``
-    does for its output).
+    the metadata side; by default Ray re-executes it (cheap at test
+    scale). Pass ``checkpoint_dir`` (or set ``LOPEZ_CURATE_CKPT``) to
+    stage the filtered corpus to parquet once — atomic tmp→rename, so
+    a killed run resumes — and feed both consumers from the re-read;
+    at the 1M-doc tier this removes the double langid/score pass
+    (A/B in BENCH_dedup_xl_r5), output hash-identical.
 
     Returns a Dataset of (doc_id, lang_pred, quality, n_tokens)."""
     import ray
@@ -237,6 +262,11 @@ def curate_neardup(
         )
 
     kept = scored.map_batches(keep, batch_format="pyarrow")
+
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get("LOPEZ_CURATE_CKPT") or None
+    if checkpoint_dir:
+        kept = _checkpoint_parquet(kept, checkpoint_dir)
 
     pairs = minhash_dedup_pairs(
         kept.select_columns(["doc_id", "text"]), threshold=threshold

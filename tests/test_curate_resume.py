@@ -87,3 +87,29 @@ def test_finished_output_is_skipped_not_rewritten(clean_run, sf_dir):
         for p in glob.glob(os.path.join(clean_dir, "**", "*.parquet"), recursive=True)
     }
     assert before == after
+
+
+def test_neardup_checkpoint_identical_and_resumable(ray_session, sf_dir, tmp_path):
+    """curate_neardup(checkpoint_dir=) must (a) produce the exact row
+    set of the re-execution path, and (b) reuse a finished checkpoint
+    (resume past the filter/langid stage) on a second call."""
+    from lopez_ray.pipelines.curate import curate_neardup
+
+    plain = _rows(curate_neardup(sf_dir))
+    ckpt = str(tmp_path / "kept")
+    ckpted = _rows(curate_neardup(sf_dir, checkpoint_dir=ckpt))
+    assert ckpted == plain
+    assert os.path.exists(os.path.join(ckpt, "_DONE"))
+
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(ckpt, "*.parquet"))
+    }
+    assert before
+    again = _rows(curate_neardup(sf_dir, checkpoint_dir=ckpt))
+    assert again == plain
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(ckpt, "*.parquet"))
+    }
+    assert before == after

@@ -202,6 +202,17 @@ def main() -> None:
     rows["curate_neardup"] = curate_neardup(out_dir).count()
     stages["curate_neardup"] = round(time.perf_counter() - t0, 2)
 
+    # A/B: checkpointed filtered corpus (the filter/langid lineage runs
+    # ONCE, staged to parquet) vs the default double re-execution above
+    import shutil
+
+    ckpt = os.path.join(out_dir, "neardup_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    t0 = time.perf_counter()
+    rows["curate_neardup_ckpt"] = curate_neardup(out_dir, checkpoint_dir=ckpt).count()
+    stages["curate_neardup_ckpt"] = round(time.perf_counter() - t0, 2)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
     total = round(sum(stages.values()) - stages["gen"], 2)
     print(
         json.dumps(

@@ -45,7 +45,7 @@ COPIES_HOT = 2000
 BLOCK = 2000
 
 
-def gen_corpus(out_dir: str, n_images: int) -> str:
+def gen_corpus(out_dir: str, n_images: int, hot_copies: int = COPIES_HOT) -> str:
     """Seeded parallel generation → <out_dir>/corpus.parquet (dir)."""
     import ray.data as rd
 
@@ -54,11 +54,11 @@ def gen_corpus(out_dir: str, n_images: int) -> str:
     from lopez_ray.media.phash import phash64
 
     path = os.path.join(out_dir, "corpus.parquet")
-    done = os.path.join(out_dir, f"_DONE_{n_images}")
+    done = os.path.join(out_dir, f"_DONE_{n_images}_{hot_copies}")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    n_hot = min(COPIES_HOT, n_images // 10)
+    n_hot = min(hot_copies, n_images // 2)
     n_rest = n_images - n_hot
     n_unique = int(n_rest * (1 - EXACT_FRAC - NEAR_FRAC))
     n_exact = int(n_rest * EXACT_FRAC)
@@ -148,6 +148,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=100_000)
     ap.add_argument("--hamming", type=int, default=6)
+    ap.add_argument("--hot-copies", type=int, default=COPIES_HOT)
+    ap.add_argument(
+        "--keepers-only",
+        action="store_true",
+        help="skip the all-pairs image_dedup stage (its output is "
+        "quadratic in clique size BY CONTRACT; the keeper paths "
+        "collapse identical signatures to star edges and stay O(m) — "
+        "use with --hot-copies 100000 for the mega-clique tier)",
+    )
     ap.add_argument(
         "--cpus",
         type=int,
@@ -171,12 +180,12 @@ def main() -> None:
         image_phash_sigs,
     )
 
-    out_dir = f"/tmp/lopez_ray_img_xl_{args.images}"
+    out_dir = f"/tmp/lopez_ray_img_xl_{args.images}_{args.hot_copies}"
     stages: dict[str, float] = {}
     rows: dict[str, int] = {}
 
     t0 = time.perf_counter()
-    gen_corpus(out_dir, args.images)
+    gen_corpus(out_dir, args.images, args.hot_copies)
     stages["gen"] = round(time.perf_counter() - t0, 2)
 
     def read():
@@ -193,11 +202,12 @@ def main() -> None:
     ).count()
     stages["sigs"] = round(time.perf_counter() - t0, 2)
 
-    t0 = time.perf_counter()
-    rows["image_dedup"] = image_near_dups(
-        read(), max_hamming=args.hamming, batch_size=256, concurrency=conc
-    ).count()
-    stages["image_dedup"] = round(time.perf_counter() - t0, 2)
+    if not args.keepers_only:
+        t0 = time.perf_counter()
+        rows["image_dedup"] = image_near_dups(
+            read(), max_hamming=args.hamming, batch_size=256, concurrency=conc
+        ).count()
+        stages["image_dedup"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     keep_ds = image_dedup_keep(
@@ -266,6 +276,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_images": args.images,
+                "hot_copies": args.hot_copies,
                 "max_hamming": args.hamming,
                 "stages": stages,
                 "rows": rows,

@@ -43,7 +43,8 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 6))
+        r = round(v, 6)
+        return repr(r + 0.0 if r == 0 else r)  # -0.0 canonicalizes as 0.0
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return repr(v)
