@@ -976,20 +976,31 @@ def signature_near_dups(
         order = np.argsort(ids, kind="stable")
         ids, sims = ids[order], sims[order]
         uniq, inv = np.unique(sims, return_inverse=True)
+        # group members via ONE sort + slice offsets: the old per-group
+        # boolean mask (ids[inv == g]) rescanned the whole bucket per
+        # group/per matched pair — O(groups × bucket), a minutes-long
+        # straggler on hot low-entropy buckets (img-xl at 1M)
+        g_order = np.argsort(inv, kind="stable")
+        ids_g = ids[g_order]
+        g_starts = np.searchsorted(inv[g_order], np.arange(len(uniq) + 1))
+
+        def members(g: int) -> np.ndarray:
+            return ids_g[g_starts[g] : g_starts[g + 1]]
+
         out_a, out_b, out_d = [], [], []
         # identical-signature groups → distance-0 pairs (vectorized)
-        for gidx in np.flatnonzero(np.bincount(inv) > 1):
-            members = ids[inv == gidx]
-            iu, ju = np.triu_indices(len(members), k=1)
-            out_a.append(members[iu])
-            out_b.append(members[ju])
+        for gidx in np.flatnonzero(np.diff(g_starts) > 1):
+            m = members(gidx)
+            iu, ju = np.triu_indices(len(m), k=1)
+            out_a.append(m[iu])
+            out_b.append(m[ju])
             out_d.append(np.zeros(len(iu), dtype=np.int64))
         # distinct-signature pairs → tiled sparse hamming, sub-banded
         # recursively when the bucket is hot (see _sig_pairs_recursive)
         if len(uniq) > 1:
             ii, jj, dd = _sig_pairs_recursive(uniq, free_mask, max_hamming)
             for i, j, d in zip(ii, jj, dd):
-                ma, mb = ids[inv == i], ids[inv == j]
+                ma, mb = members(i), members(j)
                 ga, gb = np.meshgrid(ma, mb, indexing="ij")
                 a = np.minimum(ga, gb).reshape(-1)
                 b = np.maximum(ga, gb).reshape(-1)

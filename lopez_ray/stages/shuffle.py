@@ -48,6 +48,11 @@ import pyarrow as pa
 
 _PHI = np.uint64(0x9E3779B97F4A7C15)
 
+# target input bytes per reduce/join task when sizing the fan-out from
+# the streamed byte count (small enough that a CPU-heavy reduce_fn
+# parallelizes, large enough that task overhead stays negligible)
+_REDUCE_TARGET_BYTES = 16 << 20
+
 
 def _mix_columns(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
     h = np.zeros(batch.num_rows, dtype=np.uint64)
@@ -268,7 +273,19 @@ def partitioned_reduce(ds, key_cols: list[str], reduce_fn, n_parts: int = 64):
     n_eff = n_slots * k
     if k > 1:
         per_slot = _escalate_slots(per_slot, key_cols, n_slots, k)
-    n_reduce = min(n_eff, max(4, 2 * n_blocks))
+    # block count alone under-reads fan-out when the producer emitted
+    # few LARGE blocks (e.g. a materialized 1M-row signature table is
+    # 1-2 blocks → 4 reduce tasks grinding a CPU-heavy reduce_fn for
+    # minutes — the img-xl pair-search straggler): also scale with the
+    # streamed bytes, targeting ~16 MB of input per reduce task
+    n_by_bytes = -(-total_bytes // _REDUCE_TARGET_BYTES)
+    n_reduce = min(n_eff, max(4, 2 * n_blocks, n_by_bytes))
+    if os.environ.get("LOPEZ_SHUFFLE_DEBUG"):
+        print(
+            f"[shuffle] reduce fan-out: n_blocks={n_blocks} "
+            f"bytes={total_bytes} k={k} n_reduce={n_reduce}",
+            flush=True,
+        )
     tbl_refs, cnt_refs = [], []
     for j in range(n_reduce):
         lo = j * n_eff // n_reduce
@@ -445,7 +462,10 @@ def partitioned_lookup_join(
     if k > 1:
         left_slots = _escalate_slots(left_slots, key_cols, n_slots, k)
         right_slots = _escalate_slots(right_slots, key_cols, n_slots, k)
-    n_join = min(n_eff, max(4, 2 * max(n_left_blocks, n_right_blocks)))
+    n_by_bytes = -(-max(left_bytes, right_bytes) // _REDUCE_TARGET_BYTES)
+    n_join = min(
+        n_eff, max(4, 2 * max(n_left_blocks, n_right_blocks), n_by_bytes)
+    )
     tbl_refs, cnt_refs = [], []
     for j in range(n_join):
         lo = j * n_eff // n_join
