@@ -69,7 +69,9 @@ def curate(
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     conc = max(2, min(24, cpus // 2))
 
-    ds = rd.read_parquet(
+    from ..sources import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -233,7 +235,9 @@ def curate_neardup(
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     conc = max(2, min(24, cpus // 2))
 
-    ds = rd.read_parquet(
+    from ..sources import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

@@ -28,9 +28,11 @@ from ..stages.ann import vecs_of as _vecs_of
 
 
 def _rp(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ..sources import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return read_parquet_clean(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
 
 
 def _day_bucket(ts) -> pa.Array:

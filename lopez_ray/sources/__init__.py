@@ -1,3 +1,3 @@
-from .corpus import read_corpus, write_dataset
+from .corpus import read_corpus, read_parquet_clean, write_dataset
 
-__all__ = ["read_corpus", "write_dataset"]
+__all__ = ["read_corpus", "read_parquet_clean", "write_dataset"]
