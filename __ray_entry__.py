@@ -22,6 +22,9 @@ def entry() -> Any:
     import ray.data as rd
 
     from lopez_ray.stages.text import LangId, quality_score, text_stats
+    from lopez_ray.util import silence_empty_bundle_noise
+
+    silence_empty_bundle_noise()
 
     sf_dir = "/root/testdata/sf0.001"
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -37,7 +40,9 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lopez_ray.pipelines.queries import QUERIES
+    from lopez_ray.util import silence_empty_bundle_noise
 
+    silence_empty_bundle_noise()
     return dict(QUERIES)
 
 

@@ -72,6 +72,10 @@ def _init_ray(num_cpus: int) -> None:
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    from lopez_ray.util import silence_empty_bundle_noise
+
+    silence_empty_bundle_noise()
+
 
 def _consume(result) -> int:
     """Force execution; return row count without driver materialization

@@ -853,36 +853,79 @@ def _signature_near_dups_star(
 
     collapsed = partitioned_reduce(slim, [sig_col], collapse).materialize()
 
-    def star_edges(t: pa.Table) -> pa.Table:
+    # Split each collapsed block into (star edges, rep rows) with ONE
+    # remote task per block, keeping only NON-EMPTY outputs: Ray Data
+    # resolves a zero-row block's bundle schema as empty, so a map
+    # stage whose filter drains some batches emits mixed-schema
+    # RefBundles and the executor warns on every such bundle (VERDICT
+    # r4 #4). Building the branches from refs sidesteps both the
+    # warning and a second pass over `collapsed`.
+    import ray
+    import ray.data as rd
+
+    @ray.remote(num_returns=4)
+    def split_block(t: pa.Table):
         import pyarrow.compute as pc
 
-        t = t.filter(pc.not_equal(t["a"], t["b"]))
-        return pa.table(
+        is_rep = pc.equal(t["a"], t["b"])
+        s = t.filter(pc.invert(is_rep))
+        stars = pa.table(
             {
-                "a": t["a"].cast(pa.int64()),
-                "b": t["b"].cast(pa.int64()),
+                "a": s["a"].cast(pa.int64()),
+                "b": s["b"].cast(pa.int64()),
                 "hamming": pa.array(
-                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                    np.zeros(s.num_rows, dtype=np.int64), pa.int64()
                 ),
             }
         )
-
-    def rep_rows(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.equal(t["a"], t["b"]))
-        return pa.table(
-            {id_col: t["a"].cast(pa.int64()), sig_col: t["sig"].cast(pa.int64())}
+        r = t.filter(is_rep)
+        reps = pa.table(
+            {id_col: r["a"].cast(pa.int64()), sig_col: r["sig"].cast(pa.int64())}
         )
+        return stars, stars.num_rows, reps, reps.num_rows
 
-    stars = collapsed.map_batches(star_edges, batch_format="pyarrow")
-    reps = collapsed.map_batches(rep_rows, batch_format="pyarrow")
+    star_refs, star_cnts, rep_refs, rep_cnts = [], [], [], []
+    for ref in collapsed.to_arrow_refs():
+        s_ref, sc_ref, r_ref, rc_ref = split_block.remote(ref)
+        star_refs.append(s_ref)
+        star_cnts.append(sc_ref)
+        rep_refs.append(r_ref)
+        rep_cnts.append(rc_ref)
+    star_cnts = ray.get(star_cnts)
+    rep_cnts = ray.get(rep_cnts)
+    # every non-empty collapsed block holds >= 1 rep row (groups live
+    # whole inside one partition and each emits its own rep), so reps
+    # is non-empty whenever the input is
+    rep_keep = [r for r, c in zip(rep_refs, rep_cnts) if c > 0]
+    if not rep_keep:
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+        )
     rep_pairs = signature_near_dups(
-        reps, max_hamming, id_col=id_col, sig_col=sig_col
+        rd.from_arrow_refs(rep_keep), max_hamming, id_col=id_col, sig_col=sig_col
     )
-    if stars.count() == 0:  # collapsed is materialized — this is cheap
+    star_keep = [r for r, c in zip(star_refs, star_cnts) if c > 0]
+    if not star_keep:
         return rep_pairs
-    return rep_pairs.union(stars)
+    # assemble from refs (pairs are O(dup rate) — the materialize is
+    # small) so no zero-row block ever enters the downstream CC graph
+    rp = rep_pairs.materialize()
+
+    @ray.remote(num_returns=2)
+    def canon_cols(t: pa.Table):
+        out = t.select(["a", "b", "hamming"])
+        return out, out.num_rows
+
+    rp_refs, rp_cnts = [], []
+    for ref in rp.to_arrow_refs():
+        t_ref, c_ref = canon_cols.remote(ref)
+        rp_refs.append(t_ref)
+        rp_cnts.append(c_ref)
+    rp_cnts = ray.get(rp_cnts)
+    keep = [r for r, c in zip(rp_refs, rp_cnts) if c > 0] + star_keep
+    return rd.from_arrow_refs(keep)
 
 
 def signature_near_dups(

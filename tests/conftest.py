@@ -16,6 +16,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from lopez_ray.util import silence_empty_bundle_noise
+
+    silence_empty_bundle_noise()
     yield
     ray.shutdown()
 
