@@ -908,6 +908,12 @@ def _signature_near_dups_star(
     )
     star_keep = [r for r, c in zip(star_refs, star_cnts) if c > 0]
     if not star_keep:
+        # no identical-signature groups — the rep search IS the answer.
+        # A pair-free result is a zero-block Dataset (Ray 2.49 cannot
+        # carry a schema on zero rows AT ALL — from_arrow/from_pandas
+        # of an empty table both drop it); every consumer handles that
+        # via its own empty-input path (CC's n_blocks==0 short-circuit,
+        # the keeper compositions' count()==0 selfgroup fallback).
         return rep_pairs
     # assemble from refs (pairs are O(dup rate) — the materialize is
     # small) so no zero-row block ever enters the downstream CC graph

@@ -483,3 +483,58 @@ def test_signature_near_dups_star_components_equal(ray_session):
     # original base[0] row shares the planted signature), hamming 0
     clique = star_df[(star_df["a"] == 0) & (star_df["hamming"] == 0)]
     assert len(clique) >= M
+
+
+def test_signature_near_dups_star_degenerate_corpora(ray_session):
+    """Star-arm corners after the ref-level assembly rewrite: an
+    ALL-IDENTICAL corpus (rep near-dup search finds nothing — output
+    is the stars alone) and an all-distinct, no-near-dup corpus
+    (stars empty — output is the schema-bearing empty pair set)."""
+    import ray.data as rd
+
+    from lopez_ray.stages.dedup import signature_near_dups
+
+    # (a) every row shares one signature: n-1 star edges to rep id 0
+    n = 37
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "kid": pa.array(np.arange(n, dtype=np.int64)),
+                "sig": pa.array(np.full(n, 123456789, np.int64)),
+            }
+        )
+    )
+    out = signature_near_dups(
+        ds, 3, id_col="kid", sig_col="sig", identical_as_star=True
+    ).to_pandas()
+    assert len(out) == n - 1
+    assert (out["a"] == 0).all()
+    assert (out["hamming"] == 0).all()
+    assert set(out["b"]) == set(range(1, n))
+
+    # (b) far-apart distinct signatures: no pairs. Ray 2.49 cannot
+    # carry a schema on a zero-row Dataset (from_arrow of an empty
+    # table drops it), so the contract is behavioral: the empty pair
+    # set has zero rows AND flows through the downstream CC intake
+    # without crashing (its n_blocks==0 short-circuit).
+    from lopez_ray.stages.cc import connected_components
+
+    far = rd.from_arrow(
+        pa.table(
+            {
+                "kid": pa.array(np.arange(8, dtype=np.int64)),
+                # signatures differ in >3 bits pairwise
+                "sig": pa.array(
+                    [0, 0xFF, 0xFF00, 0xFF0000, 0xFF000000,
+                     0xFF00000000, 0xFF0000000000, 0xFF000000000000],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+    empty = signature_near_dups(
+        far, 3, id_col="kid", sig_col="sig", identical_as_star=True
+    )
+    assert empty.count() == 0
+    labels = connected_components(empty).to_pandas()
+    assert len(labels) == 0
