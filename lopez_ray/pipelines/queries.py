@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.ann import vecs_of as _vecs_of
+from ..util import table_from_pandas
 
 
 def _rp(sf_dir: str, table: str, columns=None):
@@ -883,7 +884,7 @@ def q_lang_source_rollup(sf_dir: str):
     )
     out["n_docs"] = out["n_docs"].astype("int64")
     out["total_chars"] = out["total_chars"].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return table_from_pandas(out)
 
 
 SQL_LANG_SOURCE_ROLLUP = """
@@ -1399,9 +1400,7 @@ def q_top_orders_per_cust(sf_dir: str):
         return df[rk <= k]
 
     def combiner(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
-            _topk(b.to_pandas()), preserve_index=False
-        )
+        return table_from_pandas(_topk(b.to_pandas()))
 
     pruned = ds.map_batches(combiner, batch_format="pyarrow")
     ranked = partitioned_reduce(
@@ -1558,7 +1557,7 @@ def q_ann_bruteforce(sf_dir: str):
         )
     df = pd.concat(keep).reset_index(drop=True)
     df["query_idx"] = df["query_idx"].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return table_from_pandas(df)
 
 
 SQL_ANN_BRUTEFORCE = """
@@ -1857,12 +1856,11 @@ def q_dedup_keep(sf_dir: str):
     groups = q_dedup_groups(sf_dir)
 
     def combine(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             b.select(["group_id"])
             .to_pandas()
             .groupby("group_id", as_index=False)
-            .agg(group_size=("group_id", "size")),
-            preserve_index=False,
+            .agg(group_size=("group_id", "size"))
         )
 
     sizes = partitioned_reduce(
@@ -2012,7 +2010,7 @@ def q_embedding_dups(sf_dir: str):
     lsh = embedding_near_dups(ds, threshold=0.9, n_planes=8, n_tables=16).to_pandas()
     lsh["cos"] = lsh["cos"].round(6)
     lsh = lsh.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(lsh, preserve_index=False)
+    return table_from_pandas(lsh)
 
 
 def q_embedding_pair_truth(sf_dir: str):
@@ -2064,7 +2062,7 @@ def q_ann_ivf(sf_dir: str):
     ivf = ivf.sort_values(
         ["query_idx", "score", "vec_id"], ascending=[True, False, True]
     ).reset_index(drop=True)
-    return pa.Table.from_pandas(ivf, preserve_index=False)
+    return table_from_pandas(ivf)
 
 
 def q_label_centroids(sf_dir: str):
@@ -2158,7 +2156,7 @@ def q_ann_lsh(sf_dir: str):
     lsh = lsh.sort_values(
         ["query_idx", "score", "vec_id"], ascending=[True, False, True]
     ).reset_index(drop=True)
-    return pa.Table.from_pandas(lsh, preserve_index=False)
+    return table_from_pandas(lsh)
 
 
 def _crawl_out_dir(sf_dir: str) -> str:

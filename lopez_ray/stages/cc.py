@@ -59,6 +59,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import table_from_pandas
 from .shuffle import _mix_columns, _split_table
 
 _SCHEMA = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
@@ -129,7 +130,7 @@ def connected_components(
     @ray.remote
     def split_edges(tbl):
         if not isinstance(tbl, pa.Table):
-            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+            tbl = table_from_pandas(tbl)
         if tbl.num_rows == 0:
             return tuple(None for _ in range(R))
         a = tbl[a_col].combine_chunks().cast(pa.int64())
@@ -176,7 +177,7 @@ def connected_components(
         df = edges.to_pandas()
         lab = df.groupby("node", as_index=False).agg(lbl=("other", "min"))
         lab["lbl"] = np.minimum(lab["lbl"].to_numpy(), lab["node"].to_numpy())
-        labels = pa.Table.from_pandas(lab, preserve_index=False).cast(_SCHEMA)
+        labels = table_from_pandas(lab).cast(_SCHEMA)
         return edges, labels, edges.num_rows
 
     @ray.remote(num_returns=2 * RE)
@@ -242,7 +243,7 @@ def connected_components(
         new = new.sort_values("node", ignore_index=True)
         # incoming dsts are always existing nodes, so the node sets match
         changed = int((new["lbl"].to_numpy() < old["lbl"].to_numpy()).sum())
-        return pa.Table.from_pandas(new, preserve_index=False).cast(_SCHEMA), changed
+        return table_from_pandas(new).cast(_SCHEMA), changed
 
     # --- derive initial labels per (possibly escalated) range --------
     edge_refs, label_refs, cnt_refs = [], [], []
