@@ -3505,6 +3505,278 @@ def q_audio_features(sf_dir: str):
     return audio_pipeline(ds).sort("audio_id")
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions: sampling, quantiles, indexing, collocations
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 200, "zh": 400}  # per-1000 keep rates; others 800
+_SAMPLE_DEFAULT_RATE = 800
+
+
+def q_stratified_sample(sf_dir: str):
+    """STRATIFIED corpus sampling — downsample over-represented
+    languages by a deterministic per-language keep rate (en 20 %,
+    zh 40 %, everything else 80 %): bucket = md5_u64('smp|'+doc_id)
+    % 1000, keep while bucket < rate[lang]. Hash-based like
+    ``doc_split`` so membership is stable under any re-sharding, and
+    embarrassingly parallel (pure map_batches, no shuffle) — the
+    rebalancing step every multi-lingual training-data pipeline runs
+    before tokenization."""
+    import pandas as pd
+
+    from ..hash import md5_u64_batch
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = (
+            md5_u64_batch([b"smp|%d" % i for i in ids.tolist()])
+            % np.uint64(1000)
+        ).astype(np.int64)
+        rates = (
+            pd.Series(b["lang"].to_pylist())
+            .map(_SAMPLE_RATES)
+            .fillna(_SAMPLE_DEFAULT_RATE)
+            .to_numpy(dtype=np.int64)
+        )
+        keep = buckets < rates
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": b["lang"].filter(pa.array(keep)),
+                "bucket": pa.array(buckets[keep], pa.int64()),
+            }
+        )
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+with b as (
+  select doc_id, lang,
+         cast({_md5_u64_sql("'smp|' || cast(doc_id as varchar)")} % 1000
+              as bigint) as bucket
+  from documents
+)
+select doc_id, lang, bucket from b
+where bucket < case lang when 'en' then {_SAMPLE_RATES['en']}
+                         when 'zh' then {_SAMPLE_RATES['zh']}
+                         else {_SAMPLE_DEFAULT_RATE} end
+"""
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _quantile_partition(df):
+    """Per-lang exact order statistics for one hash partition (whole
+    languages co-locate). Languages are O(1), so the per-group loop is
+    over a handful of groups; the inside is one numpy sort each."""
+    import math
+
+    import pandas as pd
+
+    rows = []
+    for lang, g in df.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        picks = [int(v[max(1, math.ceil(q * n)) - 1]) for q in _QUANTILES]
+        rows.append((lang, n, *picks))
+    return pd.DataFrame(
+        rows, columns=["lang", "n_docs", "p25", "p50", "p75", "p95"]
+    )
+
+
+def q_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles per group — element ``ceil(q·n)`` of
+    each language's sorted document lengths (the deterministic
+    order-statistic convention of ``acctbal_median``, generalized to a
+    quantile vector: no interpolation, no engine-specific percentile
+    semantics to mirror). ONE hash-partitioned shuffle on lang, then a
+    vectorized sort + four picks per group. The corpus-profiling step
+    that sizes batch/window knobs before a big run."""
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return partitioned_reduce(ds, ["lang"], _quantile_partition)
+
+
+SQL_LENGTH_QUANTILES = """
+select lang, max(n) as n_docs,
+       max(case when rn = greatest(1, cast(ceil(0.25 * n) as bigint))
+                then n_chars end) as p25,
+       max(case when rn = greatest(1, cast(ceil(0.5 * n) as bigint))
+                then n_chars end) as p50,
+       max(case when rn = greatest(1, cast(ceil(0.75 * n) as bigint))
+                then n_chars end) as p75,
+       max(case when rn = greatest(1, cast(ceil(0.95 * n) as bigint))
+                then n_chars end) as p95
+from (
+  select lang, n_chars,
+         row_number() over (partition by lang order by n_chars, doc_id) as rn,
+         count(*) over (partition by lang) as n
+  from documents
+)
+group by lang
+"""
+
+
+_INDEX_MIN_DF = 10
+
+
+def q_inverted_index(sf_dir: str):
+    """INVERTED-INDEX build: token → document frequency + the sorted
+    posting list (csv string), for tokens appearing in ≥ 10
+    documents. Each map task emits the batch's DISTINCT (token,
+    doc_id) pairs (a doc lives in exactly one batch, so pairs are
+    globally unique and df is a plain count); ONE partitioned reduce
+    on the token hash assembles each token's postings. Postings are
+    O(df) by nature — at 100 TB the same reduce writes one
+    (token-range) parquet shard per partition instead of returning
+    rows, and stopword-class tokens would be capped or dropped by the
+    df ceiling a real index applies."""
+    from ..hash import md5_u64_batch
+    from ..stages.shuffle import partitioned_reduce
+    from ..stages.text import _TOKEN_RE_C
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        toks: list[str] = []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ts = set(_TOKEN_RE_C.findall(text.lower())) if text else set()
+            toks.extend(ts)
+            doc_ids.extend([did] * len(ts))
+        gh = (
+            md5_u64_batch([t.encode() for t in toks]).view(np.int64)
+            if toks
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "doc_id": pa.array(np.asarray(doc_ids, np.int64), pa.int64()),
+            }
+        )
+
+    def assemble(df):
+        df = df.sort_values(["token", "doc_id"])
+        df["doc_str"] = df["doc_id"].astype(str)
+        out = df.groupby(["gh", "token"], as_index=False).agg(
+            df=("doc_id", "size"), postings=("doc_str", ",".join)
+        )
+        out = out[out["df"] >= _INDEX_MIN_DF]
+        return out[["token", "df", "postings"]]
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return partitioned_reduce(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["gh"], assemble
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+with pairs as (
+  select distinct doc_id, token from (
+    select doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as token
+    from documents
+  )
+)
+select token, count(*) as df,
+       string_agg(cast(doc_id as varchar), ',' order by doc_id) as postings
+from pairs group by token having count(*) >= {_INDEX_MIN_DF}
+"""
+
+
+_PMI_MIN_COUNT = 5
+
+
+def q_bigram_pmi(sf_dir: str):
+    """COLLOCATION mining: top-50 bigrams by pointwise mutual
+    information, pmi = ln(c_ab·N / (c_a·c_b)) with N the corpus token
+    count (the unigram-normalized PMI convention), over bigrams seen
+    ≥ 5 times. Two combiner-shaped counting passes
+    (``token_ngram_counts`` n=1 / n=2 — the n=2 pass ships int-hash
+    rows first via its min_count prefilter); the unigram table is
+    O(vocab), so it rides the driver → ``ray.put`` broadcast +
+    searchsorted scoring path proven by ``unigram_logprob``, and only
+    the ≥min_count bigram survivors are ever scored."""
+    import ray
+
+    from ..stages.text import token_ngram_counts
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    uni = token_ngram_counts(ds, n=1).to_pandas()  # O(vocab) rows
+    if not len(uni):
+        return pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pmi": pa.array([], pa.float64()),
+            }
+        )
+    n_total = float(uni["cnt"].sum())
+    order = np.argsort(uni["token"].to_numpy())
+    vocab_ref = ray.put(uni["token"].to_numpy()[order])
+    counts_ref = ray.put(uni["cnt"].to_numpy()[order].astype(np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        vocab = ray.get(vocab_ref)
+        counts = ray.get(counts_ref)
+        grams = batch["gram"].to_numpy(zero_copy_only=False)
+        cab = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w1 = np.array([g.split(" ", 1)[0] for g in grams], dtype=object)
+        w2 = np.array([g.split(" ", 1)[1] for g in grams], dtype=object)
+        ca = counts[np.searchsorted(vocab, w1)]
+        cb = counts[np.searchsorted(vocab, w2)]
+        pmi = np.round(np.log(cab * n_total / (ca * cb)), 6)
+        return pa.table(
+            {
+                "gram": batch["gram"],
+                "cnt": batch["cnt"],
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    bi = token_ngram_counts(ds, n=2, min_count=_PMI_MIN_COUNT)
+    scored = bi.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi", "gram"], descending=[True, False]).limit(50)
+
+
+SQL_BIGRAM_PMI = f"""
+with lst as (
+  select regexp_extract_all(lower(text), '[a-z0-9_]+') as l from documents
+),
+toks as (select unnest(l) as token from lst),
+uni as (select token, count(*) as c from toks group by token),
+n as (select count(*) as n from toks),
+big as (
+  select unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i+1])) as gram
+  from lst
+),
+bc as (select gram, count(*) as cnt from big group by gram
+       having count(*) >= {_PMI_MIN_COUNT})
+select gram, cnt,
+       round(ln(cast(cnt as double) * n.n / (cast(u1.c as double) * u2.c)),
+             6) as pmi
+from bc cross join n
+join uni u1 on u1.token = split_part(gram, ' ', 1)
+join uni u2 on u2.token = split_part(gram, ' ', 2)
+order by pmi desc, gram limit 50
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -3559,12 +3831,14 @@ QUERIES = {
     "image_exact_dedup": q_image_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "doc_split": q_doc_split,
+    "stratified_sample": q_stratified_sample,
     "gopher_quality": q_gopher_quality,
     "dedup_exact": q_dedup_exact,
     "embedding_dups": q_embedding_dups,
     "doc_repetition": q_doc_repetition,
     "fingerprint": q_fingerprint,
     "daily_active_users": q_daily_active_users,
+    "length_quantiles": q_length_quantiles,
     "langid": q_langid,
     "video_frames": q_video_frames,
     "multimodal_decode": q_multimodal_decode,
@@ -3574,10 +3848,12 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "doc_stats": q_doc_stats,
     "vocab_topk": q_vocab_topk,
+    "inverted_index": q_inverted_index,
     "image_curate": q_image_curate,
     "image_format_stats": q_image_format_stats,
     "dedup_groups": q_dedup_groups,
     "simhash_pairs": q_simhash_pairs,
+    "bigram_pmi": q_bigram_pmi,
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_host_stats": q_crawl_host_stats,
@@ -3636,6 +3912,10 @@ ORACLES = {
     "subword_stats": SQL_SUBWORD_STATS,
     "daily_active_users": SQL_DAILY_ACTIVE_USERS,
     "doc_split": SQL_DOC_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "orders_anti_join": SQL_ORDERS_ANTI_JOIN,
