@@ -3777,6 +3777,805 @@ order by pmi desc, gram limit 50
 """
 
 
+_REV_DATE_LO = "1996-01-01"
+_REV_DATE_HI = "1997-01-01"
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped five-table join: revenue by the SUPPLIER's nation
+    for orders in one calendar year, restricted to local commerce
+    (customer and supplier share a nation). Size-gated in one piece:
+    when customer+supplier+orders all fit the broadcast gate, ONE
+    map_batches over lineitem does three sorted-array searchsorted
+    lookups and a per-batch nation combine (zero shuffles); above the
+    gate the big legs exchange instead — customer attaches to the
+    date-filtered orders with one partitioned hash join, lineitem
+    pre-aggregates revenue per (l_orderkey, supp-nation) and meets the
+    orders side in a second partitioned join keyed on l_orderkey.
+    Revenue rides every wire as EXACT 1e-4 fixed-point int64 (the
+    q_lineitem_pricing convention). Both paths are output-identical
+    (tests/test_join_gate.py forces the fallback)."""
+    import ray
+
+    from ..stages.shuffle import grouped_sum_max, partitioned_lookup_join
+
+    gate = _broadcast_max_rows()
+    all_small = all(
+        _pq_rows(sf_dir, t) <= gate for t in ("customer", "supplier", "orders")
+    )
+
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nkeys = nation["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nkeys)
+    nat_keys, nat_names = nkeys[norder], nation["n_name"].to_numpy()[norder]
+
+    lo = np.datetime64(_REV_DATE_LO, "us").astype(np.int64)
+    hi = np.datetime64(_REV_DATE_HI, "us").astype(np.int64)
+
+    def _sorted_pair(df, kcol, vcol):
+        k = df[kcol].to_numpy().astype(np.int64)
+        o = np.argsort(k)
+        return k[o], df[vcol].to_numpy().astype(np.int64)[o]
+
+    def _lookup(keys, vals, probe):
+        # searchsorted attach with miss detection (miss → -1)
+        pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+        out = vals[pos].copy()
+        out[keys[pos] != probe] = -1
+        return out
+
+    def rev_cents(b: pa.Table) -> pa.Array:
+        disc_price = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pc.round(pc.multiply(disc_price, 10000.0)).cast(pa.int64())
+
+    li = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    if all_small:
+        cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        ck, cv = _sorted_pair(cust, "c_custkey", "c_nationkey")
+        supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+        sk, sv = _sorted_pair(supp, "s_suppkey", "s_nationkey")
+        orders = _rp(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).to_pandas()
+        ts = orders["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = orders[(ts >= lo) & (ts < hi)]
+        ok = win["o_orderkey"].to_numpy().astype(np.int64)
+        oo = np.argsort(ok)
+        cnat = _lookup(ck, cv, win["o_custkey"].to_numpy().astype(np.int64))[oo]
+        lookup_ref = ray.put((sk, sv, ok[oo], cnat))
+
+        def partial(b: pa.Table) -> pa.Table:
+            skeys, svals, okeys, onat = ray.get(lookup_ref)
+            snat = _lookup(skeys, svals, np.asarray(b["l_suppkey"]))
+            ordnat = _lookup(okeys, onat, np.asarray(b["l_orderkey"]))
+            keep = (ordnat >= 0) & (ordnat == snat)
+            t = pa.table(
+                {
+                    "s_nation": pa.array(snat[keep], pa.int64()),
+                    "rev": rev_cents(b).filter(pa.array(keep)),
+                    "cnt": pa.array(np.ones(int(keep.sum()), np.int64)),
+                }
+            )
+            return t.group_by("s_nation").aggregate(
+                [("rev", "sum"), ("cnt", "sum")]
+            )
+
+        partials = li.map_batches(partial, batch_format="pyarrow")
+        agg = grouped_sum_max(
+            partials, ["s_nation"], sums={"rev_sum": "rev", "cnt_sum": "n_items"}
+        )
+    else:
+        orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def in_window(b: pa.Table) -> pa.Table:
+            us = np.asarray(b["o_orderdate"].cast(pa.int64()))
+            keep = pa.array((us >= lo) & (us < hi))
+            return pa.table(
+                {
+                    "l_orderkey": b["o_orderkey"].filter(keep),
+                    "o_custkey": b["o_custkey"].filter(keep),
+                }
+            )
+
+        owin = orders.map_batches(in_window, batch_format="pyarrow")
+        cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["c_custkey"],
+                    "c_nation": b["c_nationkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        oside = partitioned_lookup_join(
+            owin, cust_ds, ["o_custkey"], how="inner"
+        ).map_batches(
+            lambda b: b.select(["l_orderkey", "c_nation"]), batch_format="pyarrow"
+        )
+
+        supp_ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "l_suppkey": b["s_suppkey"],
+                    "s_nation": b["s_nationkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "l_suppkey": b["l_suppkey"],
+                    "rev": rev_cents(b),
+                }
+            )
+
+        li_n = partitioned_lookup_join(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            supp_ds,
+            ["l_suppkey"],
+            how="inner",
+        )
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "s_nation": b["s_nation"].cast(pa.int64()),
+                    "rev": b["rev"],
+                    "cnt": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            )
+            return t.group_by(["l_orderkey", "s_nation"]).aggregate(
+                [("rev", "sum"), ("cnt", "sum")]
+            )
+
+        lpart = li_n.map_batches(li_partial, batch_format="pyarrow")
+        joined = partitioned_lookup_join(lpart, oside, ["l_orderkey"], how="inner")
+
+        def match(b: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                b["s_nation"].cast(pa.int64()), b["c_nation"].cast(pa.int64())
+            )
+            t = b.filter(pc.fill_null(keep, False))
+            return pa.table(
+                {
+                    "s_nation": t["s_nation"].cast(pa.int64()),
+                    "rev_sum": t["rev_sum"].cast(pa.int64()),
+                    "cnt_sum": t["cnt_sum"].cast(pa.int64()),
+                }
+            )
+
+        agg = grouped_sum_max(
+            joined.map_batches(match, batch_format="pyarrow"),
+            ["s_nation"],
+            sums={"rev_sum": "rev", "cnt_sum": "n_items"},
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        snat = np.asarray(b["s_nation"], dtype=np.int64)
+        pos = np.minimum(np.searchsorted(nat_keys, snat), len(nat_keys) - 1)
+        return pa.table(
+            {
+                "n_name": pa.array(nat_names[pos], pa.string()),
+                "n_items": b["n_items"].cast(pa.int64()),
+                # exact int64 1e-4 units / 10000.0: bit-identical to the
+                # oracle's cast(round(sum*10000) as bigint)/10000.0 —
+                # a 2dp round would TIE on x.xx45 sums (4dp-exact money)
+                "revenue": pc.divide(b["rev"].cast(pa.float64()), 10000.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_NATION = f"""
+select n.n_name, count(*) as n_items,
+       cast(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            as bigint) / 10000.0 as revenue
+from lineitem l
+join orders o on l.l_orderkey = o.o_orderkey
+join customer c on o.o_custkey = c.c_custkey
+join supplier s on l.l_suppkey = s.s_suppkey
+join nation n on s.s_nationkey = n.n_nationkey
+where c.c_nationkey = s.s_nationkey
+  and o.o_orderdate >= timestamp '{_REV_DATE_LO}'
+  and o.o_orderdate < timestamp '{_REV_DATE_HI}'
+group by n.n_name
+"""
+
+
+def _tri_edge_targets(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic link graph over doc ids 0..N-1: each node
+    links to its two successors (guaranteeing local triangles) plus two
+    hash-scattered near neighbors (irregularity + skew). Mirrored
+    exactly in SQL via the md5_u64 twin."""
+    from ..hash import md5_u64_batch
+
+    h0 = (
+        md5_u64_batch([b"g0|%d" % i for i in ids.tolist()]) % np.uint64(29)
+    ).astype(np.int64)
+    h1 = (
+        md5_u64_batch([b"g1|%d" % i for i in ids.tolist()]) % np.uint64(97)
+    ).astype(np.int64)
+    src = np.tile(ids, 4)
+    dst = np.concatenate(
+        [(ids + 1) % n, (ids + 2) % n, (ids + 1 + h0) % n, (ids + 1 + h1) % n]
+    )
+    return src, dst
+
+
+def q_doc_triangles(sf_dir: str):
+    """TRIANGLE COUNTING on a graph — per-node triangle participation
+    over the deterministic doc link graph, via the degree-orientation
+    algorithm (each edge directed low-degree → high-degree endpoint, so
+    post-orientation out-degree is O(√m) on any graph): (1) distinct
+    undirected edges (one hash-partitioned dedup), (2) degree table
+    (combiner + reduce), (3) two partitioned joins attach endpoint
+    degrees, (4) wedges = per-src within-partition self-MERGE (C-speed
+    pandas, no Python pair loops), (5) wedge∩edge semi-join on the
+    (a,b) key closes each triangle exactly once. Every exchange ships
+    flat int64 rows; nothing touches the driver but row counts."""
+    from ..stages.shuffle import (
+        grouped_sum_max,
+        partitioned_lookup_join,
+        partitioned_reduce,
+    )
+
+    n = _pq_rows(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        s, d = _tri_edge_targets(ids, n)
+        a, bb = np.minimum(s, d), np.maximum(s, d)
+        keep = a != bb
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(bb[keep], pa.int64()),
+            }
+        )
+
+    und = partitioned_reduce(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [np.asarray(b["a"], np.int64), np.asarray(b["b"], np.int64)]
+        )
+        t = pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "one": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        return t.group_by("v").aggregate([("one", "sum")])
+
+    deg = grouped_sum_max(
+        und.map_batches(deg_partial, batch_format="pyarrow"),
+        ["v"],
+        sums={"one_sum": "deg"},
+    )
+
+    with_da = partitioned_lookup_join(
+        und,
+        deg.map_batches(
+            lambda b: pa.table(
+                {"a": b["v"].cast(pa.int64()), "deg_a": b["deg"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["a"],
+        how="inner",
+    )
+    with_db = partitioned_lookup_join(
+        with_da,
+        deg.map_batches(
+            lambda b: pa.table(
+                {"b": b["v"].cast(pa.int64()), "deg_b": b["deg"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["b"],
+        how="inner",
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        da = np.asarray(t["deg_a"], np.int64)
+        db = np.asarray(t["deg_b"], np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+            }
+        )
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedge(df):
+        import pandas as pd
+
+        m = df.merge(df, on="src")  # whole src-groups co-locate here
+        m = m[m["dst_x"] < m["dst_y"]]
+        return pd.DataFrame(
+            {"a": m["dst_x"], "b": m["dst_y"], "src": m["src"], "tag": 1}
+        )
+
+    wedges = partitioned_reduce(oriented, ["src"], wedge)
+
+    def edge_marker(b: pa.Table) -> pa.Table:
+        zeros = np.zeros(b.num_rows, np.int64)
+        return pa.table(
+            {
+                "a": b["a"].cast(pa.int64()),
+                "b": b["b"].cast(pa.int64()),
+                "src": pa.array(zeros - 1, pa.int64()),
+                "tag": pa.array(zeros, pa.int64()),
+            }
+        )
+
+    tagged = wedges.union(und.map_batches(edge_marker, batch_format="pyarrow"))
+
+    def close(df):
+        ek = df.loc[df["tag"] == 0, ["a", "b"]]
+        wd = df[df["tag"] == 1]
+        m = wd.merge(ek, on=["a", "b"])
+        return m[["src", "a", "b"]]
+
+    tris = partitioned_reduce(tagged, ["a", "b"], close)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                np.asarray(b["src"], np.int64),
+                np.asarray(b["a"], np.int64),
+                np.asarray(b["b"], np.int64),
+            ]
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(v, pa.int64()),
+                "one": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        return t.group_by("doc_id").aggregate([("one", "sum")])
+
+    agg = grouped_sum_max(
+        tris.map_batches(node_partial, batch_format="pyarrow"),
+        ["doc_id"],
+        sums={"one_sum": "n_tri"},
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_tri": b["n_tri"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_doc_triangles() -> str:
+    g0 = _md5_u64_sql("'g0|' || cast(doc_id as varchar)")
+    g1 = _md5_u64_sql("'g1|' || cast(doc_id as varchar)")
+    return f"""
+with nn as (select count(*) as n from documents),
+raw as (
+  select doc_id as s, (doc_id + 1) % nn.n as d from documents, nn
+  union all
+  select doc_id, (doc_id + 2) % nn.n from documents, nn
+  union all
+  select doc_id, (doc_id + 1 + cast({g0} % 29 as bigint)) % nn.n
+  from documents, nn
+  union all
+  select doc_id, (doc_id + 1 + cast({g1} % 97 as bigint)) % nn.n
+  from documents, nn
+),
+und as (
+  select distinct least(s, d) as a, greatest(s, d) as b
+  from raw where s <> d
+),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from und e1
+  join und e2 on e2.a = e1.b
+  join und e3 on e3.a = e1.a and e3.b = e2.b
+)
+select doc_id, count(*) as n_tri from (
+  select x as doc_id from tri
+  union all select y from tri
+  union all select z from tri
+) group by doc_id
+"""
+
+
+_KMEANS_K = 8
+
+
+def q_kmeans_step(sf_dir: str):
+    """One K-MEANS iteration (the Lloyd's step every embedding-space
+    curation/clustering loop repeats): seeds = the embeddings of
+    vec_id < 8 (deterministic), assign every vector to the nearest
+    seed by L2 (tie → lowest cluster id), then emit the NEW centroids
+    long-form (cluster_id, dim, mean_val) with member counts. The
+    centroid matrix broadcasts once via ray.put; per batch the assign
+    is one (B×K) matmul and the update one np.add.at partial, so the
+    shuffle carries O(K × dim) floats per batch — vectors themselves
+    never ride an exchange (the label_centroids contract, with
+    computed labels)."""
+    import ray
+
+    from ..stages.shuffle import grouped_sum_max
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], _KMEANS_K)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    C = np.stack(
+        [np.asarray(v, np.float64) for v in seeds["embedding"].to_numpy()]
+    )
+    cref = ray.put(C)
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = _vecs_of(b, "embedding")  # float64 (n, dim)
+        cm = ray.get(cref)
+        if X.shape[0] == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)  # first (lowest cid) wins ties
+        k, dim = cm.shape
+        sums = np.zeros((k, dim), np.float64)
+        np.add.at(sums, assign, X)
+        cnts = np.bincount(assign, minlength=k).astype(np.int64)
+        present = np.flatnonzero(cnts)
+        return pa.table(
+            {
+                "cluster_id": pa.array(
+                    np.repeat(present, dim), pa.int64()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), len(present)),
+                    pa.int64(),
+                ),
+                "s": pa.array(sums[present].ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnts[present], dim), pa.int64()),
+            }
+        )
+
+    agg = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cluster_id", "dim"],
+        sums={"s": "s_sum", "n": "n_sum"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["s_sum"], np.float64)
+        cnt = np.asarray(b["n_sum"], np.float64)
+        return pa.table(
+            {
+                "cluster_id": b["cluster_id"].cast(pa.int64()),
+                "dim": b["dim"].cast(pa.int64()),
+                "mean_val": pa.array(np.round(s / cnt, 6), pa.float64()),
+                "n_members": b["n_sum"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_KMEANS_STEP = f"""
+with c as (
+  select vec_id as cid, embedding from embeddings where vec_id < {_KMEANS_K}
+),
+d as (
+  select e.vec_id, c.cid,
+         list_distance(e.embedding::double[], c.embedding::double[]) as dist
+  from embeddings e cross join c
+),
+a as (
+  select vec_id, cid from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by dist, cid) as rn
+    from d
+  ) where rn = 1
+),
+exploded as (
+  select a.cid, unnest(generate_series(1, len(e.embedding))) as dim,
+         unnest(e.embedding::double[]) as val
+  from a join embeddings e using (vec_id)
+),
+nm as (select cid, count(*) as n_members from a group by cid)
+select cast(x.cid as bigint) as cluster_id, cast(x.dim as bigint) as dim,
+       round(avg(x.val), 6) as mean_val, nm.n_members
+from exploded x join nm on nm.cid = x.cid
+group by 1, 2, nm.n_members
+"""
+
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+_PROFILE_INT = {"doc_id", "n_chars"}
+
+
+def q_table_profile(sf_dir: str):
+    """Single-pass TABLE PROFILER over documents — per column: row
+    count, null count, exact distinct count, min and max (as varchar) —
+    the schema-sanity report a pipeline runs before committing 100 TB
+    of compute. Two passes, both combiner-shaped: (1) per-batch
+    (n, nulls, min, max) partials per column → one tiny reduce keyed on
+    the column; (2) per-batch DISTINCT (column, value) pairs — integer
+    values ride raw, strings as md5-64 hashes — → hash-partitioned
+    dedup → per-column count. Only the final O(columns) rows reach the
+    driver."""
+    from ..hash import md5_u64_batch
+    from ..stages.shuffle import grouped_sum_max, partitioned_reduce
+
+    ds = _rp(sf_dir, "documents", list(_PROFILE_COLS))
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rows = []
+        for ci, cname in enumerate(_PROFILE_COLS):
+            col = b[cname]
+            n = len(col)
+            nulls = col.null_count
+            mm = pc.min_max(col)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if cname in _PROFILE_INT:
+                rows.append((ci, n, nulls, mn, mx, None, None))
+            else:
+                rows.append((ci, n, nulls, None, None, mn, mx))
+        return table_from_pandas(
+            pd.DataFrame(
+                rows,
+                columns=["col_id", "n", "nulls", "min_i", "max_i", "min_s", "max_s"],
+            ).astype({"min_i": "Int64", "max_i": "Int64"})
+        )
+
+    def mm_reduce(df):
+        return df.groupby("col_id", as_index=False).agg(
+            n=("n", "sum"),
+            nulls=("nulls", "sum"),
+            min_i=("min_i", "min"),
+            max_i=("max_i", "max"),
+            min_s=("min_s", "min"),
+            max_s=("max_s", "max"),
+        )
+
+    mm = partitioned_reduce(
+        ds.map_batches(mm_partial, batch_format="pyarrow"), ["col_id"], mm_reduce
+    ).to_pandas()  # O(columns) rows
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        cids, vhs = [], []
+        for ci, cname in enumerate(_PROFILE_COLS):
+            col = b[cname].drop_null()
+            if len(col) == 0:
+                continue
+            if cname in _PROFILE_INT:
+                u = np.unique(np.asarray(col, np.int64))
+            else:
+                uu = pc.unique(
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray)
+                    else col
+                )
+                u = md5_u64_batch(
+                    [s.encode() for s in uu.to_pylist()]
+                ).view(np.int64)
+            cids.append(np.full(len(u), ci, np.int64))
+            vhs.append(u)
+        if not cids:
+            return pa.table(
+                {"col_id": pa.array([], pa.int64()), "vh": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "col_id": pa.array(np.concatenate(cids), pa.int64()),
+                "vh": pa.array(np.concatenate(vhs), pa.int64()),
+            }
+        )
+
+    uniq = partitioned_reduce(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["col_id", "vh"],
+        lambda df: df.drop_duplicates(["col_id", "vh"]),
+    )
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "col_id": b["col_id"],
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        return t.group_by("col_id").aggregate([("one", "sum")])
+
+    nd = grouped_sum_max(
+        uniq.map_batches(cnt_partial, batch_format="pyarrow"),
+        ["col_id"],
+        sums={"one_sum": "n_distinct"},
+    ).to_pandas()  # O(columns) rows
+
+    import pandas as pd
+
+    prof = mm.merge(nd, on="col_id", how="left").sort_values("col_id")
+    names, n_rows, n_nulls, n_distinct, mins, maxs = [], [], [], [], [], []
+    for _, r in prof.iterrows():
+        cname = _PROFILE_COLS[int(r["col_id"])]
+        names.append(cname)
+        n_rows.append(int(r["n"]))
+        n_nulls.append(int(r["nulls"]))
+        n_distinct.append(0 if pd.isna(r["n_distinct"]) else int(r["n_distinct"]))
+        if cname in _PROFILE_INT:
+            mins.append(None if pd.isna(r["min_i"]) else str(int(r["min_i"])))
+            maxs.append(None if pd.isna(r["max_i"]) else str(int(r["max_i"])))
+        else:
+            mins.append(None if pd.isna(r["min_s"]) else r["min_s"])
+            maxs.append(None if pd.isna(r["max_s"]) else r["max_s"])
+    return pa.table(
+        {
+            "col_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "n_nulls": pa.array(n_nulls, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "min_val": pa.array(mins, pa.string()),
+            "max_val": pa.array(maxs, pa.string()),
+        }
+    )
+
+
+SQL_TABLE_PROFILE = "\nunion all\n".join(
+    f"""select '{c}' as col_name, count(*) as n_rows,
+       count(*) - count({c}) as n_nulls,
+       count(distinct {c}) as n_distinct,
+       cast(min({c}) as varchar) as min_val,
+       cast(max({c}) as varchar) as max_val
+from documents"""
+    for c in _PROFILE_COLS
+)
+
+
+def q_lang_token_entropy(sf_dir: str):
+    """Per-language unigram token ENTROPY (plus corpus size and vocab) —
+    the information-density screen that separates boilerplate-heavy
+    from diverse text sources. Tokens hash to int64 before any
+    exchange (the output never needs the strings back); per-batch
+    (lang, token-hash) count partials → one partitioned reduce → a
+    second combiner computes per-lang Σcnt, Σcnt·ln(cnt) and vocab,
+    so H = ln(N) − S/N assembles from three associative sums. NULL
+    texts contribute nothing (matching the SQL unnest)."""
+    from ..hash import md5_u64_batch
+    from ..stages.shuffle import grouped_sum_max
+    from ..stages.text import _TOKEN_RE_C
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        langs_out: list[str] = []
+        toks: list[str] = []
+        for lang, text in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            if not text:
+                continue
+            ts = _TOKEN_RE_C.findall(text.lower())
+            toks.extend(ts)
+            langs_out.extend([lang] * len(ts))
+        if not toks:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "th": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        th = md5_u64_batch([t.encode() for t in toks]).view(np.int64)
+        df = pd.DataFrame({"lang": langs_out, "th": th})
+        g = df.groupby(["lang", "th"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "th": pa.array(g["th"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = grouped_sum_max(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["lang", "th"],
+        sums={"cnt": "cnt"},
+    )
+
+    def ent_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cnt = np.asarray(b["cnt"], np.float64)
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pylist(),
+                "n": cnt,
+                "s": cnt * np.log(cnt),
+                "v": np.ones(len(cnt), np.int64),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), v=("v", "sum")
+        )
+        return table_from_pandas(g)
+
+    agg = grouped_sum_max(
+        counts.map_batches(ent_partial, batch_format="pyarrow"),
+        ["lang"],
+        sums={"n": "n_tokens", "s": "s", "v": "vocab"},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_tokens"], np.float64)
+        s = np.asarray(b["s"], np.float64)
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "vocab": b["vocab"].cast(pa.int64()),
+                "entropy": pa.array(np.round(np.log(n) - s / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LANG_TOKEN_ENTROPY = """
+with toks as (
+  select lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as tok
+  from documents
+),
+c as (select lang, tok, count(*) as cnt from toks group by 1, 2),
+a as (
+  select lang, sum(cnt) as n_tokens, count(*) as vocab,
+         sum(cnt * ln(cnt)) as s
+  from c group by lang
+)
+select lang, cast(n_tokens as bigint) as n_tokens,
+       cast(vocab as bigint) as vocab,
+       round(ln(n_tokens) - s / n_tokens, 6) as entropy
+from a
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -3854,6 +4653,11 @@ QUERIES = {
     "dedup_groups": q_dedup_groups,
     "simhash_pairs": q_simhash_pairs,
     "bigram_pmi": q_bigram_pmi,
+    "revenue_by_nation": q_revenue_by_nation,
+    "kmeans_step": q_kmeans_step,
+    "table_profile": q_table_profile,
+    "lang_token_entropy": q_lang_token_entropy,
+    "doc_triangles": q_doc_triangles,
     "crawl_bfs": q_crawl_bfs,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_host_stats": q_crawl_host_stats,
@@ -3916,6 +4720,11 @@ ORACLES = {
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "inverted_index": SQL_INVERTED_INDEX,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "kmeans_step": SQL_KMEANS_STEP,
+    "table_profile": SQL_TABLE_PROFILE,
+    "lang_token_entropy": SQL_LANG_TOKEN_ENTROPY,
+    "doc_triangles": _sql_doc_triangles(),
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "orders_anti_join": SQL_ORDERS_ANTI_JOIN,

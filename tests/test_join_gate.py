@@ -29,7 +29,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "qname", ["orders_by_segment", "suppliers_per_region", "orders_anti_join"]
+    "qname",
+    [
+        "orders_by_segment",
+        "suppliers_per_region",
+        "orders_anti_join",
+        "revenue_by_nation",
+    ],
 )
 def test_gate_fallback_matches_broadcast(ray_session, sf_dir, monkeypatch, qname):
     from lopez_ray.pipelines import queries as q
