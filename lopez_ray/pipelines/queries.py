@@ -4345,28 +4345,36 @@ def q_table_profile(sf_dir: str):
     ds = _rp(sf_dir, "documents", list(_PROFILE_COLS))
 
     def mm_partial(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        rows = []
+        # explicit Arrow types: a batch where every nullable min/max slot
+        # is None must still emit int64/string columns, not null-typed
+        # ones, so every partial block carries the SAME schema
+        cids, ns, nulls_, min_i, max_i, min_s, max_s = [], [], [], [], [], [], []
         for ci, cname in enumerate(_PROFILE_COLS):
             col = b[cname]
-            n = len(col)
-            nulls = col.null_count
             mm = pc.min_max(col)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
-            if cname in _PROFILE_INT:
-                rows.append((ci, n, nulls, mn, mx, None, None))
-            else:
-                rows.append((ci, n, nulls, None, None, mn, mx))
-        return table_from_pandas(
-            pd.DataFrame(
-                rows,
-                columns=["col_id", "n", "nulls", "min_i", "max_i", "min_s", "max_s"],
-            ).astype({"min_i": "Int64", "max_i": "Int64"})
+            cids.append(ci)
+            ns.append(len(col))
+            nulls_.append(col.null_count)
+            is_int = cname in _PROFILE_INT
+            min_i.append(mn if is_int else None)
+            max_i.append(mx if is_int else None)
+            min_s.append(None if is_int else mn)
+            max_s.append(None if is_int else mx)
+        return pa.table(
+            {
+                "col_id": pa.array(cids, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "nulls": pa.array(nulls_, pa.int64()),
+                "min_i": pa.array(min_i, pa.int64()),
+                "max_i": pa.array(max_i, pa.int64()),
+                "min_s": pa.array(min_s, pa.string()),
+                "max_s": pa.array(max_s, pa.string()),
+            }
         )
 
     def mm_reduce(df):
-        return df.groupby("col_id", as_index=False).agg(
+        out = df.groupby("col_id", as_index=False).agg(
             n=("n", "sum"),
             nulls=("nulls", "sum"),
             min_i=("min_i", "min"),
@@ -4374,6 +4382,14 @@ def q_table_profile(sf_dir: str):
             min_s=("min_s", "min"),
             max_s=("max_s", "max"),
         )
+        # force stable dtypes: int64-with-nulls round-trips through
+        # pandas as float64 and an all-null string group collapses to
+        # NaN — both would emit partition blocks with drifting schemas
+        out["min_i"] = out["min_i"].astype("Int64")
+        out["max_i"] = out["max_i"].astype("Int64")
+        out["min_s"] = out["min_s"].astype("string")
+        out["max_s"] = out["max_s"].astype("string")
+        return out
 
     mm = partitioned_reduce(
         ds.map_batches(mm_partial, batch_format="pyarrow"), ["col_id"], mm_reduce
