@@ -4519,13 +4519,16 @@ def q_lang_token_entropy(sf_dir: str):
                     "cnt": pa.array([], pa.int64()),
                 }
             )
-        th = md5_u64_batch([t.encode() for t in toks]).view(np.int64)
-        df = pd.DataFrame({"lang": langs_out, "th": th})
-        g = df.groupby(["lang", "th"], as_index=False).size()
+        # count on the strings FIRST, hash only the batch-distinct
+        # (lang, token) survivors — occurrences outnumber the per-batch
+        # vocabulary 10-50×, and md5 is the expensive step here
+        df = pd.DataFrame({"lang": langs_out, "tok": toks})
+        g = df.groupby(["lang", "tok"], as_index=False).size()
+        th = md5_u64_batch([t.encode() for t in g["tok"]]).view(np.int64)
         return pa.table(
             {
                 "lang": pa.array(g["lang"], pa.string()),
-                "th": pa.array(g["th"].to_numpy(), pa.int64()),
+                "th": pa.array(th, pa.int64()),
                 "cnt": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
