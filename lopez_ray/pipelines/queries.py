@@ -4595,6 +4595,195 @@ from a
 """
 
 
+def _decile_partition(df):
+    """Per-lang rank-based decile histogram for one hash partition
+    (whole languages co-locate, the length_quantiles contract). Rank is
+    deterministic — sort by (n_chars, doc_id) — so bucket membership is
+    reproducible and mirrors the SQL row_number() twin exactly."""
+    import pandas as pd
+
+    out = []
+    for lang, g in df.groupby("lang"):
+        order = np.lexsort(
+            (g["doc_id"].to_numpy(np.int64), g["n_chars"].to_numpy(np.int64))
+        )
+        nc = g["n_chars"].to_numpy(np.int64)[order]
+        n = len(nc)
+        bucket = (10 * np.arange(n, dtype=np.int64)) // n
+        cnts = np.bincount(bucket, minlength=10)
+        present = np.flatnonzero(cnts)
+        starts = np.searchsorted(bucket, present)
+        ends = np.searchsorted(bucket, present, side="right") - 1
+        out.append(
+            pd.DataFrame(
+                {
+                    "lang": lang,
+                    "decile": present,
+                    "n_docs": cnts[present],
+                    "lo": nc[starts],
+                    "hi": nc[ends],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def q_length_deciles(sf_dir: str):
+    """Rank-based DECILE histogram of document length per language —
+    counts plus each decile's [lo, hi] value bounds, the distribution
+    profile behind batch-size and truncation-knob choices. ONE hash
+    shuffle on lang, then a vectorized per-group sort + bincount.
+    (At 100 TB a single language outgrows one partition and this
+    becomes the range-partitioned sort — the documented scale path of
+    the order-statistic family, length_quantiles / acctbal_median.)"""
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return partitioned_reduce(ds, ["lang"], _decile_partition).map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b["lang"],
+                "decile": b["decile"].cast(pa.int64()),
+                "n_docs": b["n_docs"].cast(pa.int64()),
+                "lo": b["lo"].cast(pa.int64()),
+                "hi": b["hi"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LENGTH_DECILES = """
+with r as (
+  select lang, n_chars,
+         row_number() over (partition by lang order by n_chars, doc_id) - 1
+           as rn,
+         count(*) over (partition by lang) as n
+  from documents
+)
+select lang, (10 * rn) // n as decile, count(*) as n_docs,
+       min(n_chars) as lo, max(n_chars) as hi
+from r group by 1, 2
+"""
+
+
+_HIST_WIDTH = 10.0
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width HISTOGRAM of event values (bucket = floor(v/10)) —
+    the shuffle-free distribution sketch: per-batch bincount partials
+    (count + exact min/max per bucket), one O(buckets) reduce. min/max
+    are picks of existing doubles, never accumulated sums, so the
+    compare is exact at any scale."""
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = np.asarray(b["value"], np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "min_val": pa.array([], pa.float64()),
+                    "max_val": pa.array([], pa.float64()),
+                }
+            )
+        bucket = np.floor(v / _HIST_WIDTH).astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "v": v})
+        g = df.groupby("bucket", as_index=False).agg(
+            n_events=("v", "size"), min_val=("v", "min"), max_val=("v", "max")
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "min_val": pa.array(g["min_val"].to_numpy(), pa.float64()),
+                "max_val": pa.array(g["max_val"].to_numpy(), pa.float64()),
+            }
+        )
+
+    def reduce_fn(df):
+        return df.groupby("bucket", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            min_val=("min_val", "min"),
+            max_val=("max_val", "max"),
+        )
+
+    return partitioned_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bucket"], reduce_fn
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+select cast(floor(value / {_HIST_WIDTH}) as bigint) as bucket,
+       count(*) as n_events, min(value) as min_val, max(value) as max_val
+from events where value is not null
+group by 1
+"""
+
+
+def _running_total_partition(df):
+    """Per-customer cumulative revenue for one hash partition (whole
+    customers co-locate): one vectorized sort + grouped cumsum over
+    exact integer cents."""
+    df = df.sort_values(["o_custkey", "ts", "o_orderkey"])
+    df["run_total"] = (
+        df.groupby("o_custkey")["cents"].cumsum().astype(np.int64) / 100.0
+    )
+    return df[["o_orderkey", "o_custkey", "run_total"]]
+
+
+def q_orders_running_total(sf_dir: str):
+    """WINDOWED prefix sum: each order annotated with its customer's
+    cumulative spend so far (order date + orderkey tie-break) — the
+    running-balance/sessionized-spend window shape. ONE hash shuffle
+    on o_custkey, then a per-partition sort + C-speed grouped cumsum;
+    money rides as exact int64 cents so the prefix sums are
+    tie-free at any depth."""
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "ts": pa.array(
+                    np.asarray(b["o_orderdate"].cast(pa.int64())), pa.int64()
+                ),
+                "cents": pc.round(pc.multiply(b["o_totalprice"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return partitioned_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        _running_total_partition,
+    )
+
+
+SQL_ORDERS_RUNNING_TOTAL = """
+select o_orderkey, o_custkey,
+       sum(cast(round(o_totalprice * 100) as bigint))
+         over (partition by o_custkey order by o_orderdate, o_orderkey)
+         / 100.0 as run_total
+from orders
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -4673,6 +4862,9 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "bigram_pmi": q_bigram_pmi,
     "revenue_by_nation": q_revenue_by_nation,
+    "length_deciles": q_length_deciles,
+    "value_histogram": q_value_histogram,
+    "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
     "lang_token_entropy": q_lang_token_entropy,
@@ -4740,6 +4932,9 @@ ORACLES = {
     "inverted_index": SQL_INVERTED_INDEX,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "length_deciles": SQL_LENGTH_DECILES,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,
     "lang_token_entropy": SQL_LANG_TOKEN_ENTROPY,
