@@ -4018,7 +4018,9 @@ def q_doc_triangles(sf_dir: str):
     """TRIANGLE COUNTING on a graph — per-node triangle participation
     over the deterministic doc link graph, via the degree-orientation
     algorithm (each edge directed low-degree → high-degree endpoint, so
-    post-orientation out-degree is O(√m) on any graph): (1) distinct
+    post-orientation out-degree is O(√m) on any graph — the classic
+    bound of Chiba & Nishizeki 1985, forward/compact-forward variant
+    per Schank & Wagner 2005): (1) distinct
     undirected edges (one hash-partitioned dedup), (2) degree table
     (combiner + reduce), (3) two partitioned joins attach endpoint
     degrees, (4) wedges = per-src within-partition self-MERGE (C-speed
@@ -4210,8 +4212,10 @@ _KMEANS_K = 8
 
 
 def q_kmeans_step(sf_dir: str):
-    """One K-MEANS iteration (the Lloyd's step every embedding-space
-    curation/clustering loop repeats): seeds = the embeddings of
+    """One K-MEANS iteration (the Lloyd 1982 assignment+update step
+    every embedding-space curation/clustering loop repeats; the
+    distributed shape is the classic MapReduce k-means — per-batch
+    partial sums, one tiny reduce): seeds = the embeddings of
     vec_id < 8 (deterministic), assign every vector to the nearest
     seed by L2 (tie → lowest cluster id), then emit the NEW centroids
     long-form (cluster_id, dim, mean_val) with member counts. The
@@ -4784,6 +4788,302 @@ from orders
 """
 
 
+def q_acctbal_zscore(sf_dir: str):
+    """Per-group STANDARDIZATION (z-score) — the feature-normalization
+    step of every ML-prep pipeline: each supplier's balance scored
+    against its nation's population mean/stddev. Two passes: a
+    combiner-shaped moments pass (n, Σcents, Σcents² per nation —
+    O(nations) rows per batch), stats composed on the driver
+    (O(nations)) and broadcast back as sorted arrays; the scoring pass
+    is one searchsorted + vectorized arithmetic per batch, no shuffle.
+    Degenerate nations (zero variance) are dropped on both sides."""
+    import ray
+
+    from ..stages.shuffle import grouped_sum_max
+
+    ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        # RAW double moments — acctbal is NOT all-2dp in the testdata
+        # (16 rows at sf0.01), so a cents quantization would shift the
+        # mean ~1e-4 and flip 6dp z-scores near the rounding boundary
+        x = np.asarray(b["s_acctbal"], np.float64)
+        t = pa.table(
+            {
+                "nation": b["s_nationkey"].cast(pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "s": pa.array(x, pa.float64()),
+                "sq": pa.array(x * x, pa.float64()),
+            }
+        )
+        return t.group_by("nation").aggregate(
+            [("n", "sum"), ("s", "sum"), ("sq", "sum")]
+        )
+
+    stats = grouped_sum_max(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["nation"],
+        sums={"n_sum": "n", "s_sum": "s", "sq_sum": "sq"},
+    ).to_pandas()  # O(nations)
+    n = stats["n"].to_numpy(np.float64)
+    mean = stats["s"].to_numpy(np.float64) / n
+    var = (stats["sq"].to_numpy(np.float64) - mean * mean * n) / n
+    std = np.sqrt(np.maximum(var, 0.0))
+    keys = stats["nation"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    ok = std[order] > 0.0
+    if not ok.any():
+        # every group degenerate: Ray drops all-empty blocks and the
+        # Dataset loses its schema — return the typed empty directly
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_nationkey": pa.array([], pa.int64()),
+                "zscore": pa.array([], pa.float64()),
+            }
+        )
+    bref = ray.put((keys[order][ok], mean[order][ok], std[order][ok]))
+
+    def score(b: pa.Table) -> pa.Table:
+        keys, mean, std = ray.get(bref)
+        if len(keys) == 0:  # every group degenerate (e.g. n=1 nations)
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_nationkey": pa.array([], pa.int64()),
+                    "zscore": pa.array([], pa.float64()),
+                }
+            )
+        nat = np.asarray(b["s_nationkey"], np.int64)
+        pos = np.minimum(np.searchsorted(keys, nat), len(keys) - 1)
+        hit = keys[pos] == nat
+        bal = np.asarray(b["s_acctbal"], np.float64)
+        z = np.round((bal[hit] - mean[pos][hit]) / std[pos][hit], 6)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"].filter(pa.array(hit)).cast(pa.int64()),
+                "s_nationkey": pa.array(nat[hit], pa.int64()),
+                "zscore": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_ACCTBAL_ZSCORE = """
+select s_suppkey, cast(s_nationkey as bigint) as s_nationkey,
+       round((s_acctbal - avg(s_acctbal) over w)
+             / stddev_pop(s_acctbal) over w, 6) as zscore
+from supplier
+window w as (partition by s_nationkey)
+qualify stddev_pop(s_acctbal) over w > 0
+"""
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Cross-language VOCABULARY OVERLAP — pairwise Jaccard between the
+    languages' distinct token sets (the contamination / language-mixing
+    screen run between dataset splits or sources). Tokens hash to
+    int64; ONE exchange partitioned on the token hash co-locates every
+    (lang, token) pair, so each partition dedups globally and closes
+    its token-local lang×lang pairs with a C-speed self-merge; pair
+    partials and per-lang vocab partials are O(langs²) rows per
+    partition, composed driver-side. jaccard = inter/union is a ratio
+    of exact ints — identical doubles on both sides."""
+    from ..hash import md5_u64_batch
+    from ..stages.shuffle import partitioned_reduce
+    from ..stages.text import _TOKEN_RE_C
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        langs_out: list[str] = []
+        toks: list[str] = []
+        for lang, text in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            if not text:
+                continue
+            ts = set(_TOKEN_RE_C.findall(text.lower()))
+            toks.extend(ts)
+            langs_out.extend([lang] * len(ts))
+        if not toks:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "th": pa.array([], pa.int64())}
+            )
+        df = pd.DataFrame(
+            {
+                "lang": langs_out,
+                "th": md5_u64_batch([t.encode() for t in toks]).view(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"], pa.string()),
+                "th": pa.array(df["th"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def close_pairs(df):
+        import pandas as pd
+
+        df = df.drop_duplicates(["lang", "th"])  # global dedup: th co-located
+        vc = df.groupby("lang", as_index=False).size()
+        m = df.merge(df, on="th")
+        m = m[m["lang_x"] < m["lang_y"]]
+        pc_ = m.groupby(["lang_x", "lang_y"], as_index=False).size()
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "lang_a": vc["lang"],
+                        "lang_b": "",
+                        "cnt": vc["size"].astype(np.int64),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "lang_a": pc_["lang_x"],
+                        "lang_b": pc_["lang_y"],
+                        "cnt": pc_["size"].astype(np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    parts = partitioned_reduce(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["th"], close_pairs
+    ).to_pandas()  # O(langs²) rows per partition
+    agg = parts.groupby(["lang_a", "lang_b"], as_index=False)["cnt"].sum()
+    vocab = dict(
+        zip(agg.loc[agg["lang_b"] == "", "lang_a"], agg.loc[agg["lang_b"] == "", "cnt"])
+    )
+    inter = agg[agg["lang_b"] != ""]
+    la = inter["lang_a"].to_numpy()
+    lb = inter["lang_b"].to_numpy()
+    iv = inter["cnt"].to_numpy(np.int64)
+    uv = np.array(
+        [vocab[a] + vocab[b] for a, b in zip(la, lb)], np.int64
+    ) - iv
+    return pa.table(
+        {
+            "lang_a": pa.array(la, pa.string()),
+            "lang_b": pa.array(lb, pa.string()),
+            "inter": pa.array(iv, pa.int64()),
+            "union_": pa.array(uv, pa.int64()),
+            "jaccard": pa.array(
+                np.round(iv.astype(np.float64) / uv.astype(np.float64), 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_VOCAB_OVERLAP = """
+with v as (
+  select distinct lang, tok from (
+    select lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) as tok
+    from documents
+  )
+),
+vc as (select lang, count(*) as c from v group by lang),
+p as (
+  select a.lang as la, b.lang as lb, count(*) as inter
+  from v a join v b on a.tok = b.tok and a.lang < b.lang
+  group by 1, 2
+)
+select la as lang_a, lb as lang_b, inter,
+       ca.c + cb.c - inter as union_,
+       round(inter / cast(ca.c + cb.c - inter as double), 6) as jaccard
+from p
+join vc ca on ca.lang = la
+join vc cb on cb.lang = lb
+"""
+
+
+def q_doc_graph_components(sf_dir: str):
+    """CONNECTED COMPONENTS on a sparse graph — the same BSP min-label +
+    pointer-jumping engine the dedup keepers use (stages/cc.py), here
+    over a deterministic SUBCRITICAL link graph (each doc links to one
+    hash-near successor kept with probability 1/3, mean degree ≈ 0.67,
+    so the graph fragments into many chain-shaped components — the
+    topology that stresses the O(log n) jumping depth). Docs with no
+    edge label themselves; the fill is a partitioned left join."""
+    from ..hash import md5_u64_batch
+    from ..stages.cc import connected_components
+    from ..stages.shuffle import partitioned_lookup_join, partitioned_reduce
+
+    n = _pq_rows(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], np.int64)
+        h = md5_u64_batch([b"cc|%d" % i for i in ids.tolist()])
+        keep = (h % np.uint64(3)) == 0
+        off = ((h >> np.uint64(8)) % np.uint64(29)).astype(np.int64)
+        t = (ids + 1 + off) % n
+        a = np.minimum(ids, t)[keep]
+        bb = np.maximum(ids, t)[keep]
+        ok = a != bb
+        return pa.table(
+            {
+                "a": pa.array(a[ok], pa.int64()),
+                "b": pa.array(bb[ok], pa.int64()),
+            }
+        )
+
+    und = partitioned_reduce(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
+    )
+    labels = connected_components(und).map_batches(
+        lambda b: b.rename_columns(["doc_id", "component_id"]),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_lookup_join(ds, labels, ["doc_id"], how="left")
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        cid = pc.coalesce(
+            b["component_id"].cast(pa.int64()), b["doc_id"].cast(pa.int64())
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "component_id": cid}
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def _sql_doc_graph_components() -> str:
+    h = _md5_u64_sql("'cc|' || cast(doc_id as varchar)")
+    return f"""
+with recursive nn as (select count(*) as n from documents),
+raw as (
+  select doc_id as s,
+         (doc_id + 1 + cast(({h} >> 8) % 29 as bigint)) % nn.n as d
+  from documents, nn
+  where {h} % 3 = 0
+),
+e0 as (
+  select distinct least(s, d) as a, greatest(s, d) as b
+  from raw where s <> d
+),
+edges as (select a as u, b as v from e0 union select b, a from e0),
+reach(u, v) as (
+  select u, v from edges
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+comp as (
+  select u as doc_id, least(u, min(v)) as component_id from reach group by u
+)
+select d.doc_id,
+       coalesce(c.component_id, d.doc_id) as component_id
+from documents d left join comp c using (doc_id)
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -4864,6 +5164,9 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "length_deciles": q_length_deciles,
     "value_histogram": q_value_histogram,
+    "acctbal_zscore": q_acctbal_zscore,
+    "vocab_overlap": q_vocab_overlap,
+    "doc_graph_components": q_doc_graph_components,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -4934,6 +5237,9 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "length_deciles": SQL_LENGTH_DECILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "acctbal_zscore": SQL_ACCTBAL_ZSCORE,
+    "vocab_overlap": SQL_VOCAB_OVERLAP,
+    "doc_graph_components": _sql_doc_graph_components(),
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,

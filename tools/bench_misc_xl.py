@@ -132,10 +132,12 @@ def main() -> None:
     stages["gen"] = round(time.perf_counter() - t0, 2)
 
     from lopez_ray.pipelines.queries import (
+        q_doc_graph_components,
         q_doc_triangles,
         q_kmeans_step,
         q_lang_token_entropy,
         q_table_profile,
+        q_vocab_overlap,
     )
 
     def run(name, fn, sdir):
@@ -145,7 +147,9 @@ def main() -> None:
         stages[name] = round(time.perf_counter() - t0, 2)
 
     run("doc_triangles", q_doc_triangles, misc_dir)
+    run("doc_graph_components", q_doc_graph_components, misc_dir)
     run("lang_token_entropy", q_lang_token_entropy, misc_dir)
+    run("vocab_overlap", q_vocab_overlap, misc_dir)
     run("table_profile", q_table_profile, misc_dir)
     run("kmeans_step", q_kmeans_step, ann_dir)
 
