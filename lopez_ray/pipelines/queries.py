@@ -4020,18 +4020,13 @@ def q_doc_triangles(sf_dir: str):
     algorithm (each edge directed low-degree → high-degree endpoint, so
     post-orientation out-degree is O(√m) on any graph — the classic
     bound of Chiba & Nishizeki 1985, forward/compact-forward variant
-    per Schank & Wagner 2005): (1) distinct
-    undirected edges (one hash-partitioned dedup), (2) degree table
-    (combiner + reduce), (3) two partitioned joins attach endpoint
-    degrees, (4) wedges = per-src within-partition self-MERGE (C-speed
-    pandas, no Python pair loops), (5) wedge∩edge semi-join on the
-    (a,b) key closes each triangle exactly once. Every exchange ships
-    flat int64 rows; nothing touches the driver but row counts."""
-    from ..stages.shuffle import (
-        grouped_sum_max,
-        partitioned_lookup_join,
-        partitioned_reduce,
-    )
+    per Schank & Wagner 2005). The whole exchange plan lives in
+    ``stages/graph.py::triangle_counts`` (distinct edges → degree table
+    → orient → per-src self-merge wedges → wedge∩edge semi-join;
+    property-tested against a dense A³-diagonal reference on random
+    graphs); this query feeds it the deterministic doc link graph and
+    renames the output to doc ids."""
+    from ..stages.graph import triangle_counts
 
     n = _pq_rows(sf_dir, "documents")
     ds = _rp(sf_dir, "documents", ["doc_id"])
@@ -4039,134 +4034,15 @@ def q_doc_triangles(sf_dir: str):
     def edges(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["doc_id"], dtype=np.int64)
         s, d = _tri_edge_targets(ids, n)
-        a, bb = np.minimum(s, d), np.maximum(s, d)
-        keep = a != bb
         return pa.table(
-            {
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(bb[keep], pa.int64()),
-            }
+            {"a": pa.array(s, pa.int64()), "b": pa.array(d, pa.int64())}
         )
 
-    und = partitioned_reduce(
-        ds.map_batches(edges, batch_format="pyarrow"),
-        ["a", "b"],
-        lambda df: df.drop_duplicates(["a", "b"]),
-    )
-
-    def deg_partial(b: pa.Table) -> pa.Table:
-        v = np.concatenate(
-            [np.asarray(b["a"], np.int64), np.asarray(b["b"], np.int64)]
-        )
-        t = pa.table(
-            {
-                "v": pa.array(v, pa.int64()),
-                "one": pa.array(np.ones(len(v), np.int64)),
-            }
-        )
-        return t.group_by("v").aggregate([("one", "sum")])
-
-    deg = grouped_sum_max(
-        und.map_batches(deg_partial, batch_format="pyarrow"),
-        ["v"],
-        sums={"one_sum": "deg"},
-    )
-
-    with_da = partitioned_lookup_join(
-        und,
-        deg.map_batches(
-            lambda b: pa.table(
-                {"a": b["v"].cast(pa.int64()), "deg_a": b["deg"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ),
-        ["a"],
-        how="inner",
-    )
-    with_db = partitioned_lookup_join(
-        with_da,
-        deg.map_batches(
-            lambda b: pa.table(
-                {"b": b["v"].cast(pa.int64()), "deg_b": b["deg"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ),
-        ["b"],
-        how="inner",
-    )
-
-    def orient(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["a"], np.int64)
-        b = np.asarray(t["b"], np.int64)
-        da = np.asarray(t["deg_a"], np.int64)
-        db = np.asarray(t["deg_b"], np.int64)
-        a_first = (da < db) | ((da == db) & (a < b))
-        return pa.table(
-            {
-                "src": pa.array(np.where(a_first, a, b), pa.int64()),
-                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
-            }
-        )
-
-    oriented = with_db.map_batches(orient, batch_format="pyarrow")
-
-    def wedge(df):
-        import pandas as pd
-
-        m = df.merge(df, on="src")  # whole src-groups co-locate here
-        m = m[m["dst_x"] < m["dst_y"]]
-        return pd.DataFrame(
-            {"a": m["dst_x"], "b": m["dst_y"], "src": m["src"], "tag": 1}
-        )
-
-    wedges = partitioned_reduce(oriented, ["src"], wedge)
-
-    def edge_marker(b: pa.Table) -> pa.Table:
-        zeros = np.zeros(b.num_rows, np.int64)
-        return pa.table(
-            {
-                "a": b["a"].cast(pa.int64()),
-                "b": b["b"].cast(pa.int64()),
-                "src": pa.array(zeros - 1, pa.int64()),
-                "tag": pa.array(zeros, pa.int64()),
-            }
-        )
-
-    tagged = wedges.union(und.map_batches(edge_marker, batch_format="pyarrow"))
-
-    def close(df):
-        ek = df.loc[df["tag"] == 0, ["a", "b"]]
-        wd = df[df["tag"] == 1]
-        m = wd.merge(ek, on=["a", "b"])
-        return m[["src", "a", "b"]]
-
-    tris = partitioned_reduce(tagged, ["a", "b"], close)
-
-    def node_partial(b: pa.Table) -> pa.Table:
-        v = np.concatenate(
-            [
-                np.asarray(b["src"], np.int64),
-                np.asarray(b["a"], np.int64),
-                np.asarray(b["b"], np.int64),
-            ]
-        )
-        t = pa.table(
-            {
-                "doc_id": pa.array(v, pa.int64()),
-                "one": pa.array(np.ones(len(v), np.int64)),
-            }
-        )
-        return t.group_by("doc_id").aggregate([("one", "sum")])
-
-    agg = grouped_sum_max(
-        tris.map_batches(node_partial, batch_format="pyarrow"),
-        ["doc_id"],
-        sums={"one_sum": "n_tri"},
-    )
-    return agg.map_batches(
+    out = triangle_counts(ds.map_batches(edges, batch_format="pyarrow"))
+    return out.map_batches(
         lambda b: pa.table(
             {
-                "doc_id": b["doc_id"].cast(pa.int64()),
+                "doc_id": b["node"].cast(pa.int64()),
                 "n_tri": b["n_tri"].cast(pa.int64()),
             }
         ),

@@ -1,0 +1,164 @@
+"""Distributed graph analytics beyond PageRank/CC: triangle counting.
+
+Degree-orientation algorithm (Chiba & Nishizeki 1985; the
+forward/compact-forward formulation of Schank & Wagner 2005): orient
+every undirected edge from its lower-degree endpoint to its
+higher-degree endpoint (ties by node id). Post-orientation out-degree
+is O(√m) on ANY graph, so the wedge set Σ d_out² is O(m^1.5) — never
+quadratic in a hub's degree. All steps are Ray Dataset exchanges over
+flat int64 rows:
+
+  distinct edges → degree table → two partitioned joins (attach
+  endpoint degrees) → orient → per-src within-partition self-merge
+  (wedges) → wedge∩edge semi-join on the (a,b) pair key (each triangle
+  closes exactly once, at its highest-degree vertex's wedge).
+
+Only per-partition row counts touch the driver. Every reduce partition
+holds whole key groups (the partitioned_reduce contract), so the
+self-merge and the pair semi-join are single vectorized pandas ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def triangle_counts(edges, a_col: str = "a", b_col: str = "b"):
+    """Per-node triangle participation counts over an undirected edge
+    Dataset. ``edges`` rows may be duplicated, self-looped, or carry
+    either orientation — the first exchange canonicalizes (min, max),
+    drops loops, and dedups. Returns a Ray Dataset (node:int64,
+    n_tri:int64), nodes with ≥1 triangle only."""
+    from .shuffle import (
+        grouped_sum_max,
+        partitioned_lookup_join,
+        partitioned_reduce,
+    )
+
+    def canon(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[a_col], np.int64)
+        y = np.asarray(b[b_col], np.int64)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        keep = lo != hi
+        return pa.table(
+            {
+                "a": pa.array(lo[keep], pa.int64()),
+                "b": pa.array(hi[keep], pa.int64()),
+            }
+        )
+
+    und = partitioned_reduce(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [np.asarray(b["a"], np.int64), np.asarray(b["b"], np.int64)]
+        )
+        t = pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "one": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        return t.group_by("v").aggregate([("one", "sum")])
+
+    deg = grouped_sum_max(
+        und.map_batches(deg_partial, batch_format="pyarrow"),
+        ["v"],
+        sums={"one_sum": "deg"},
+    )
+
+    def _deg_as(key: str, out: str):
+        return deg.map_batches(
+            lambda b, key=key, out=out: pa.table(
+                {key: b["v"].cast(pa.int64()), out: b["deg"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    with_da = partitioned_lookup_join(und, _deg_as("a", "deg_a"), ["a"], how="inner")
+    with_db = partitioned_lookup_join(
+        with_da, _deg_as("b", "deg_b"), ["b"], how="inner"
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        da = np.asarray(t["deg_a"], np.int64)
+        db = np.asarray(t["deg_b"], np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+            }
+        )
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedge(df):
+        import pandas as pd
+
+        m = df.merge(df, on="src")  # whole src-groups co-locate here
+        m = m[m["dst_x"] < m["dst_y"]]
+        return pd.DataFrame(
+            {"a": m["dst_x"], "b": m["dst_y"], "src": m["src"], "tag": 1}
+        )
+
+    wedges = partitioned_reduce(oriented, ["src"], wedge)
+
+    def edge_marker(b: pa.Table) -> pa.Table:
+        zeros = np.zeros(b.num_rows, np.int64)
+        return pa.table(
+            {
+                "a": b["a"].cast(pa.int64()),
+                "b": b["b"].cast(pa.int64()),
+                "src": pa.array(zeros - 1, pa.int64()),
+                "tag": pa.array(zeros, pa.int64()),
+            }
+        )
+
+    tagged = wedges.union(und.map_batches(edge_marker, batch_format="pyarrow"))
+
+    def close(df):
+        ek = df.loc[df["tag"] == 0, ["a", "b"]]
+        wd = df[df["tag"] == 1]
+        m = wd.merge(ek, on=["a", "b"])
+        return m[["src", "a", "b"]]
+
+    tris = partitioned_reduce(tagged, ["a", "b"], close)
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                np.asarray(b["src"], np.int64),
+                np.asarray(b["a"], np.int64),
+                np.asarray(b["b"], np.int64),
+            ]
+        )
+        t = pa.table(
+            {
+                "node": pa.array(v, pa.int64()),
+                "one": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+        return t.group_by("node").aggregate([("one", "sum")])
+
+    agg = grouped_sum_max(
+        tris.map_batches(node_partial, batch_format="pyarrow"),
+        ["node"],
+        sums={"one_sum": "n_tri"},
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"].cast(pa.int64()),
+                "n_tri": b["n_tri"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
