@@ -4960,6 +4960,130 @@ from documents d left join comp c using (doc_id)
 """
 
 
+_DEBOUNCE_GAP_US = 3_600_000_000  # 1 hour
+
+
+def q_events_debounce(sf_dir: str):
+    """Stream DEBOUNCE / event de-duplication: keep an event only when
+    the previous event of the same (user, type) is more than 1 hour
+    older (lag-based, not chained — mirrors the SQL LAG definition) —
+    the log-cleaning step before sessionization or billing. ONE hash
+    shuffle on user_id; per partition a vectorized sort + grouped
+    shift; ties (identical timestamps) break on event_id so both sides
+    drop the same duplicate."""
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "ts_us": pa.array(
+                    np.asarray(b["ts"].cast(pa.int64())), pa.int64()
+                ),
+            }
+        )
+
+    def debounce(df):
+        df = df.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+        prev = df.groupby(["user_id", "event_type"])["ts_us"].shift()
+        keep = prev.isna() | (df["ts_us"] - prev > _DEBOUNCE_GAP_US)
+        return df.loc[keep, ["event_id", "user_id", "event_type", "ts_us"]]
+
+    return partitioned_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"], debounce
+    )
+
+
+SQL_EVENTS_DEBOUNCE = f"""
+with o as (
+  select event_id, user_id, event_type, epoch_us(ts) as ts_us,
+         lag(epoch_us(ts)) over (
+           partition by user_id, event_type order by ts, event_id
+         ) as prev
+  from events
+)
+select event_id, cast(user_id as bigint) as user_id, event_type, ts_us
+from o where prev is null or ts_us - prev > {_DEBOUNCE_GAP_US}
+"""
+
+
+_LOYAL_MIN_MONTHS = 3
+_LOYAL_YEAR = ("1996-01-01", "1997-01-01")
+
+
+def q_loyal_customers(sf_dir: str):
+    """ALL-quantifier / relational-division shape: customers active in
+    ≥ 3 DISTINCT months of 1996, with their order count for the year —
+    the cohort screen behind retention tiers. Per batch: distinct
+    (custkey, month-bucket) partials with counts (two C-speed
+    group_bys); ONE hash shuffle on custkey, then per partition a
+    nunique + sum and the threshold filter. The month bucket is
+    months-since-epoch (pure int arithmetic on the µs timestamp) — the
+    SQL twin's date_trunc('month') is distinct-equivalent."""
+    from ..stages.shuffle import partitioned_reduce
+
+    lo = np.datetime64(_LOYAL_YEAR[0], "us").astype(np.int64)
+    hi = np.datetime64(_LOYAL_YEAR[1], "us").astype(np.int64)
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        us = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        keep = (us >= lo) & (us < hi)
+        cust = np.asarray(b["o_custkey"], np.int64)[keep]
+        mon = (
+            us[keep]
+            .astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame({"o_custkey": cust, "mon": mon})
+            .groupby(["o_custkey", "mon"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"].to_numpy(), pa.int64()),
+                "mon": pa.array(g["mon"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    # ONE exchange on custkey: the partition holds whole customer
+    # groups, so month re-merge, nunique and the threshold all happen
+    # in the same reduce
+    def reduce_fn(df):
+        m = df.groupby(["o_custkey", "mon"], as_index=False)["cnt"].sum()
+        g = m.groupby("o_custkey", as_index=False).agg(
+            mon=("mon", "nunique"), n_orders=("cnt", "sum")
+        )
+        g = g[g["mon"] >= _LOYAL_MIN_MONTHS]
+        return g[["o_custkey", "n_orders"]]
+
+    return partitioned_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        reduce_fn,
+    )
+
+
+SQL_LOYAL_CUSTOMERS = f"""
+select o_custkey, count(*) as n_orders
+from orders
+where o_orderdate >= timestamp '{_LOYAL_YEAR[0]}'
+  and o_orderdate < timestamp '{_LOYAL_YEAR[1]}'
+group by o_custkey
+having count(distinct date_trunc('month', o_orderdate)) >= {_LOYAL_MIN_MONTHS}
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -5043,6 +5167,8 @@ QUERIES = {
     "acctbal_zscore": q_acctbal_zscore,
     "vocab_overlap": q_vocab_overlap,
     "doc_graph_components": q_doc_graph_components,
+    "events_debounce": q_events_debounce,
+    "loyal_customers": q_loyal_customers,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -5116,6 +5242,8 @@ ORACLES = {
     "acctbal_zscore": SQL_ACCTBAL_ZSCORE,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "doc_graph_components": _sql_doc_graph_components(),
+    "events_debounce": SQL_EVENTS_DEBOUNCE,
+    "loyal_customers": SQL_LOYAL_CUSTOMERS,
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,
