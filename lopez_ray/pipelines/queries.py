@@ -5084,6 +5084,146 @@ having count(distinct date_trunc('month', o_orderdate)) >= {_LOYAL_MIN_MONTHS}
 """
 
 
+def q_props_stats(sf_dir: str):
+    """SEMI-STRUCTURED column extraction: parse the JSON `props` string
+    per event (real json.loads per row — the parse IS the operator,
+    like the HTML stage), pull the `k` field, and aggregate per
+    event_type: count, exact-int-sum average, distinct-k count. The
+    shuffle carries per-batch combiner rows: (type, k) distinct pairs
+    for the distinct count and (type, n, Σk) for the moments — both
+    O(types × k-domain) per batch, never O(rows)."""
+    import json
+
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        types = b["event_type"].to_pylist()
+        ks = [
+            json.loads(p)["k"] if p is not None else None
+            for p in b["props"].to_pylist()
+        ]
+        df = pd.DataFrame({"t": types, "k": ks}).dropna()
+        g = df.groupby(["t", "k"], as_index=False).size()
+        return pa.table(
+            {
+                "event_type": pa.array(g["t"], pa.string()),
+                "k": pa.array(g["k"].to_numpy().astype(np.int64), pa.int64()),
+                "cnt": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def reduce_fn(df):
+        m = df.groupby(["event_type", "k"], as_index=False)["cnt"].sum()
+        m["kc"] = m["k"] * m["cnt"]
+        g = m.groupby("event_type", as_index=False).agg(
+            n_events=("cnt", "sum"),
+            ksum=("kc", "sum"),
+            n_distinct_k=("k", "nunique"),
+        )
+        g["avg_k"] = np.round(
+            g["ksum"].to_numpy(np.float64) / g["n_events"].to_numpy(np.float64),
+            6,
+        )
+        return g[["event_type", "n_events", "n_distinct_k", "avg_k"]]
+
+    return partitioned_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        reduce_fn,
+    )
+
+
+SQL_PROPS_STATS = """
+with e as (
+  select event_type, cast(json_extract(props, '$.k') as bigint) as k
+  from events where props is not null
+)
+select event_type, count(*) as n_events,
+       count(distinct k) as n_distinct_k,
+       round(sum(k) / cast(count(*) as double), 6) as avg_k
+from e group by event_type
+"""
+
+
+_COPURCHASE_TOPK = 25
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """MARKET-BASKET co-occurrence (the A-priori candidate step): top-25
+    part pairs ordered together, counted per distinct (order, part)
+    basket membership. Per batch: distinct (orderkey, partkey) rows;
+    ONE exchange on orderkey, then a per-partition self-MERGE closes
+    each basket's pairs (baskets are ~4 items, so pairs are O(rows));
+    pair partials combine in-partition and one small second reduce on
+    the pair key sums them; the top-k is a distributed sort + limit
+    with a total (cnt desc, p1, p2) order."""
+    from ..stages.shuffle import grouped_sum_max, partitioned_reduce
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "o": np.asarray(b["l_orderkey"], np.int64),
+                "p": np.asarray(b["l_partkey"], np.int64),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "o": pa.array(df["o"].to_numpy(), pa.int64()),
+                "p": pa.array(df["p"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def close_baskets(df):
+        df = df.drop_duplicates(["o", "p"])  # global: whole orders here
+        m = df.merge(df, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        return m.groupby(["p_x", "p_y"], as_index=False).size().rename(
+            columns={"p_x": "p1", "p_y": "p2", "size": "cnt"}
+        )
+
+    pair_partials = partitioned_reduce(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["o"],
+        close_baskets,
+    )
+    counts = grouped_sum_max(pair_partials, ["p1", "p2"], sums={"cnt": "cnt"})
+
+    def typed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p1": b["p1"].cast(pa.int64()),
+                "p2": b["p2"].cast(pa.int64()),
+                "cnt": b["cnt"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(typed, batch_format="pyarrow")
+        .sort(["cnt", "p1", "p2"], descending=[True, False, False])
+        .limit(_COPURCHASE_TOPK)
+    )
+
+
+SQL_COPURCHASE_PAIRS = f"""
+with d as (select distinct l_orderkey, l_partkey from lineitem),
+p as (
+  select a.l_partkey as p1, b.l_partkey as p2
+  from d a join d b
+    on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+)
+select p1, p2, count(*) as cnt from p group by 1, 2
+order by cnt desc, p1, p2 limit {_COPURCHASE_TOPK}
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -5169,6 +5309,8 @@ QUERIES = {
     "doc_graph_components": q_doc_graph_components,
     "events_debounce": q_events_debounce,
     "loyal_customers": q_loyal_customers,
+    "props_stats": q_props_stats,
+    "copurchase_pairs": q_copurchase_pairs,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -5244,6 +5386,8 @@ ORACLES = {
     "doc_graph_components": _sql_doc_graph_components(),
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "loyal_customers": SQL_LOYAL_CUSTOMERS,
+    "props_stats": SQL_PROPS_STATS,
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,
