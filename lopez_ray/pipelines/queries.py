@@ -5224,6 +5224,73 @@ order by cnt desc, p1, p2 limit {_COPURCHASE_TOPK}
 """
 
 
+def q_name_neardup_join(sf_dir: str):
+    """FUZZY STRING self-join: supplier-name pairs at edit distance ≤ 1
+    — the typo-dedup shape for entity resolution. Names here are fixed
+    length, so distance-1 means one substitution, and the exact
+    bucketing is POSITION-MASKED signatures (hash of the name with
+    position i blanked, one row per position — the deletion-
+    neighborhood trick of FastSS, Bocek et al. 2007): two distinct
+    equal-length names co-bucket iff they agree everywhere but i, i.e.
+    distance exactly 1, so no verify pass is needed and each pair
+    surfaces in exactly ONE bucket (no cross-bucket dedup). One hash
+    exchange on the signature; per-partition pair closure is the same
+    C-speed self-merge as the wedge/basket ops. Variable-length
+    corpora add the deletion signatures (i-th char dropped) to the
+    same exchange — the masked case is the measured one."""
+    from ..hash import md5_u64_batch
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "supplier", ["s_name"])
+
+    def sigs(b: pa.Table) -> pa.Table:
+        names = b["s_name"].to_pylist()
+        sig_payloads: list[bytes] = []
+        out_names: list[str] = []
+        for nm in names:
+            if nm is None:
+                continue
+            enc = nm.encode()
+            for i in range(len(enc)):
+                sig_payloads.append(b"%d|%s\x00%s" % (i, enc[:i], enc[i + 1 :]))
+                out_names.append(nm)
+        if not out_names:
+            return pa.table(
+                {
+                    "sig": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "sig": pa.array(
+                    md5_u64_batch(sig_payloads).view(np.int64), pa.int64()
+                ),
+                "s_name": pa.array(out_names, pa.string()),
+            }
+        )
+
+    def close(df):
+        df = df.drop_duplicates(["sig", "s_name"])
+        m = df.merge(df, on="sig")
+        m = m[m["s_name_x"] < m["s_name_y"]]
+        out = m[["s_name_x", "s_name_y"]].rename(
+            columns={"s_name_x": "name_a", "s_name_y": "name_b"}
+        )
+        return out.drop_duplicates()
+
+    return partitioned_reduce(
+        ds.map_batches(sigs, batch_format="pyarrow"), ["sig"], close
+    )
+
+
+SQL_NAME_NEARDUP_JOIN = """
+select a.s_name as name_a, b.s_name as name_b
+from supplier a join supplier b
+  on a.s_name < b.s_name and levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -5311,6 +5378,7 @@ QUERIES = {
     "loyal_customers": q_loyal_customers,
     "props_stats": q_props_stats,
     "copurchase_pairs": q_copurchase_pairs,
+    "name_neardup_join": q_name_neardup_join,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -5388,6 +5456,7 @@ ORACLES = {
     "loyal_customers": SQL_LOYAL_CUSTOMERS,
     "props_stats": SQL_PROPS_STATS,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
+    "name_neardup_join": SQL_NAME_NEARDUP_JOIN,
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,
