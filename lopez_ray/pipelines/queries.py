@@ -4050,7 +4050,9 @@ def q_doc_triangles(sf_dir: str):
     )
 
 
-def _sql_doc_triangles() -> str:
+def _tri_und_cte() -> str:
+    """Shared CTE prefix: the deterministic doc link graph's distinct
+    undirected edge set (the SQL twin of ``_tri_edge_targets``)."""
     g0 = _md5_u64_sql("'g0|' || cast(doc_id as varchar)")
     g1 = _md5_u64_sql("'g1|' || cast(doc_id as varchar)")
     return f"""
@@ -4069,7 +4071,11 @@ raw as (
 und as (
   select distinct least(s, d) as a, greatest(s, d) as b
   from raw where s <> d
-),
+)"""
+
+
+def _sql_doc_triangles() -> str:
+    return f"""{_tri_und_cte()},
 tri as (
   select e1.a as x, e1.b as y, e2.b as z
   from und e1
@@ -5084,6 +5090,62 @@ having count(distinct date_trunc('month', o_orderdate)) >= {_LOYAL_MIN_MONTHS}
 """
 
 
+_CN_TOPK = 50
+
+
+def q_common_neighbors_topk(sf_dir: str):
+    """LINK PREDICTION: the 50 non-adjacent doc pairs sharing the most
+    common neighbors in the deterministic doc link graph (the
+    friend-of-friend recommendation primitive; Adamic-Adar is the same
+    plan with a degree-weighted score). All-integer scoring so the
+    compare is exact; total order (cn desc, a, b). The exchange plan
+    is ``stages/graph.py::common_neighbors`` — per-center wedge
+    closure + a tagged semi-join that DROPS already-adjacent pairs —
+    property-tested against the dense A² reference."""
+    from ..stages.graph import common_neighbors
+
+    n = _pq_rows(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        s, d = _tri_edge_targets(ids, n)
+        return pa.table(
+            {"a": pa.array(s, pa.int64()), "b": pa.array(d, pa.int64())}
+        )
+
+    cn = common_neighbors(ds.map_batches(edges, batch_format="pyarrow"))
+    return (
+        cn.map_batches(
+            lambda b: pa.table(
+                {
+                    "a": b["a"].cast(pa.int64()),
+                    "b": b["b"].cast(pa.int64()),
+                    "cn": b["cn"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["cn", "a", "b"], descending=[True, False, False])
+        .limit(_CN_TOPK)
+    )
+
+
+def _sql_common_neighbors() -> str:
+    return f"""{_tri_und_cte()},
+dir as (select a as z, b as n from und union all select b, a from und),
+w as (
+  select d1.n as a, d2.n as b
+  from dir d1 join dir d2 on d1.z = d2.z and d1.n < d2.n
+),
+cn as (select a, b, count(*) as cn from w group by 1, 2)
+select cn.a, cn.b, cn.cn
+from cn left join und e on e.a = cn.a and e.b = cn.b
+where e.a is null
+order by cn.cn desc, cn.a, cn.b limit {_CN_TOPK}
+"""
+
+
 def q_props_stats(sf_dir: str):
     """SEMI-STRUCTURED column extraction: parse the JSON `props` string
     per event (real json.loads per row — the parse IS the operator,
@@ -5379,6 +5441,7 @@ QUERIES = {
     "props_stats": q_props_stats,
     "copurchase_pairs": q_copurchase_pairs,
     "name_neardup_join": q_name_neardup_join,
+    "common_neighbors_topk": q_common_neighbors_topk,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -5457,6 +5520,7 @@ ORACLES = {
     "props_stats": SQL_PROPS_STATS,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "name_neardup_join": SQL_NAME_NEARDUP_JOIN,
+    "common_neighbors_topk": _sql_common_neighbors(),
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,

@@ -24,6 +24,85 @@ import numpy as np
 import pyarrow as pa
 
 
+def common_neighbors(edges, a_col: str = "a", b_col: str = "b"):
+    """LINK PREDICTION primitive: common-neighbor counts for every
+    non-adjacent node pair with ≥1 shared neighbor. Input contract as
+    ``triangle_counts`` (dups/loops/either orientation tolerated).
+    Plan: canonical distinct edges → directed both ways → per-center
+    self-merge closes each center's neighbor pairs (Σ deg² wedges —
+    at scale a hub cap or the degree-orientation split bounds this) →
+    one reduce on the pair key counts wedges and drops pairs that are
+    themselves edges (tagged union, same semi-join shape as the
+    triangle closer). Returns a Dataset (a:int64, b:int64, cn:int64),
+    a < b."""
+    from .shuffle import partitioned_reduce
+
+    def canon(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[a_col], np.int64)
+        y = np.asarray(b[b_col], np.int64)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        keep = lo != hi
+        return pa.table(
+            {
+                "a": pa.array(lo[keep], pa.int64()),
+                "b": pa.array(hi[keep], pa.int64()),
+            }
+        )
+
+    und = partitioned_reduce(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        return pa.table(
+            {
+                "z": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "n": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    def wedge(df):
+        import pandas as pd
+
+        m = df.merge(df, on="z")
+        m = m[m["n_x"] < m["n_y"]]
+        return pd.DataFrame(
+            {"a": m["n_x"], "b": m["n_y"], "tag": 1}
+        )
+
+    wedges = partitioned_reduce(
+        und.map_batches(both_dirs, batch_format="pyarrow"), ["z"], wedge
+    )
+
+    def edge_marker(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": b["a"].cast(pa.int64()),
+                "b": b["b"].cast(pa.int64()),
+                "tag": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = wedges.union(und.map_batches(edge_marker, batch_format="pyarrow"))
+
+    def count_nonadjacent(df):
+        adj = df.loc[df["tag"] == 0, ["a", "b"]]
+        wd = df[df["tag"] == 1]
+        cn = wd.groupby(["a", "b"], as_index=False).size().rename(
+            columns={"size": "cn"}
+        )
+        m = cn.merge(adj, on=["a", "b"], how="left", indicator=True)
+        out = m[m["_merge"] == "left_only"][["a", "b", "cn"]]
+        out["cn"] = out["cn"].astype(np.int64)
+        return out
+
+    return partitioned_reduce(tagged, ["a", "b"], count_nonadjacent)
+
+
 def triangle_counts(edges, a_col: str = "a", b_col: str = "b"):
     """Per-node triangle participation counts over an undirected edge
     Dataset. ``edges`` rows may be duplicated, self-looped, or carry

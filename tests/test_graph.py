@@ -72,3 +72,48 @@ def test_triangles_triangle_free(ray_session):
     # even cycle: no triangles → empty result
     edges = [(i, (i + 1) % 10) for i in range(10)]
     assert _run(edges) == {}
+
+
+def _brute_common_neighbors(n, edges):
+    A = np.zeros((n, n), np.int64)
+    for a, b in edges:
+        if a != b:
+            A[a, b] = 1
+            A[b, a] = 1
+    C = A @ A
+    out = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if C[i, j] > 0 and A[i, j] == 0:
+                out[(i, j)] = int(C[i, j])
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n,p", [(15, 0.25), (40, 0.1)])
+def test_common_neighbors_match_dense_reference(ray_session, seed, n, p):
+    import ray.data as rd
+
+    from lopez_ray.stages.graph import common_neighbors
+
+    rng = np.random.default_rng(99 + seed)
+    raw = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rng.random() < p
+    ]
+    raw += [(b, a) for a, b in raw[::3]]  # reversed duplicates
+    tbl = pa.table(
+        {
+            "a": pa.array([a for a, _ in raw], pa.int64()),
+            "b": pa.array([b for _, b in raw], pa.int64()),
+        }
+    )
+    out = common_neighbors(rd.from_arrow(tbl)).to_pandas()
+    got = (
+        {}
+        if len(out) == 0
+        else {(a, b): c for a, b, c in zip(out["a"], out["b"], out["cn"])}
+    )
+    assert got == _brute_common_neighbors(n, raw)
