@@ -154,6 +154,7 @@ def main() -> None:
         "events_asof",
         "events_rolling",
         "events_range_join",
+        "events_debounce",
         "top_orders_per_cust",
     ):
         t0 = time.perf_counter()
