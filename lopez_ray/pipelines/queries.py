@@ -4969,6 +4969,16 @@ from documents d left join comp c using (doc_id)
 _DEBOUNCE_GAP_US = 3_600_000_000  # 1 hour
 
 
+def _debounce_partition(df):
+    """Lag-window keep filter for one user_id hash partition (whole
+    users co-locate): vectorized sort + grouped shift; a row survives
+    iff the previous same-(user,type) row is absent or > gap older."""
+    df = df.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+    prev = df.groupby(["user_id", "event_type"])["ts_us"].shift()
+    keep = prev.isna() | (df["ts_us"] - prev > _DEBOUNCE_GAP_US)
+    return df.loc[keep, ["event_id", "user_id", "event_type", "ts_us"]]
+
+
 def q_events_debounce(sf_dir: str):
     """Stream DEBOUNCE / event de-duplication: keep an event only when
     the previous event of the same (user, type) is more than 1 hour
@@ -4993,14 +5003,10 @@ def q_events_debounce(sf_dir: str):
             }
         )
 
-    def debounce(df):
-        df = df.sort_values(["user_id", "event_type", "ts_us", "event_id"])
-        prev = df.groupby(["user_id", "event_type"])["ts_us"].shift()
-        keep = prev.isna() | (df["ts_us"] - prev > _DEBOUNCE_GAP_US)
-        return df.loc[keep, ["event_id", "user_id", "event_type", "ts_us"]]
-
     return partitioned_reduce(
-        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"], debounce
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        _debounce_partition,
     )
 
 
