@@ -351,7 +351,14 @@ def pagerank_ray(
     B = max(2, int(n_buckets))
 
     @ray.remote
-    def split_block(tbl: pa.Table, col: str, nb: int):
+    def split_block(tbl, col: str, nb: int):
+        if not isinstance(tbl, pa.Table):
+            # pandas block from upstream (the LOPEZ_SHUFFLE=sort
+            # variant's groupby path emits pandas) — same conversion
+            # as stages/shuffle.py's split tasks
+            from ..util import table_from_pandas
+
+            tbl = table_from_pandas(tbl)
         # empty partitions surface as schema-less zero-row blocks
         if tbl.num_rows == 0:
             return tuple(tbl.slice(0, 0) for _ in range(nb))

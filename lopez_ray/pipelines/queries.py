@@ -5359,6 +5359,77 @@ from supplier a join supplier b
 """
 
 
+def _winsorize_partition(df):
+    """Per-lang winsorized length stats for one hash partition (whole
+    languages co-locate): exact order-statistic cuts at p5/p95 (the
+    ceil(q·n) convention of length_quantiles), values clipped to the
+    cuts, mean from an exact int64 sum — robust statistics without a
+    second pass because the cut and the clip share the partition."""
+    import math
+
+    import pandas as pd
+
+    rows = []
+    for lang, g in df.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy(np.int64))
+        n = len(v)
+        lo = int(v[max(1, math.ceil(0.05 * n)) - 1])
+        hi = int(v[max(1, math.ceil(0.95 * n)) - 1])
+        wsum = int(np.clip(v, lo, hi).sum())
+        rows.append((lang, n, lo, hi, round(wsum / n, 6)))
+    return pd.DataFrame(
+        rows, columns=["lang", "n_docs", "lo_cut", "hi_cut", "wmean"]
+    )
+
+
+def q_winsorized_lengths(sf_dir: str):
+    """ROBUST per-group statistics: p5/p95 winsorized mean of document
+    length per language — the outlier-resistant aggregate quality
+    dashboards use where a single 100 MB page would wreck a plain
+    mean. ONE hash shuffle on lang; cuts, clip and the exact int sum
+    all happen inside the partition (the order-statistic family's
+    scale path applies: range-partitioned sort when one group outgrows
+    a partition)."""
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return partitioned_reduce(ds, ["lang"], _winsorize_partition).map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b["lang"],
+                "n_docs": b["n_docs"].cast(pa.int64()),
+                "lo_cut": b["lo_cut"].cast(pa.int64()),
+                "hi_cut": b["hi_cut"].cast(pa.int64()),
+                "wmean": b["wmean"].cast(pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_WINSORIZED_LENGTHS = """
+with r as (
+  select lang, n_chars,
+         row_number() over (partition by lang order by n_chars, doc_id) as rn,
+         count(*) over (partition by lang) as n
+  from documents
+),
+cuts as (
+  select lang, max(n) as n,
+         max(case when rn = greatest(1, cast(ceil(0.05 * n) as bigint))
+                  then n_chars end) as lo_cut,
+         max(case when rn = greatest(1, cast(ceil(0.95 * n) as bigint))
+                  then n_chars end) as hi_cut
+  from r group by lang
+)
+select r.lang, cuts.n as n_docs, cuts.lo_cut, cuts.hi_cut,
+       round(sum(least(greatest(r.n_chars, cuts.lo_cut), cuts.hi_cut))
+             / cast(cuts.n as double), 6) as wmean
+from r join cuts using (lang)
+group by r.lang, cuts.n, cuts.lo_cut, cuts.hi_cut
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -5448,6 +5519,7 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "name_neardup_join": q_name_neardup_join,
     "common_neighbors_topk": q_common_neighbors_topk,
+    "winsorized_lengths": q_winsorized_lengths,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -5527,6 +5599,7 @@ ORACLES = {
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "name_neardup_join": SQL_NAME_NEARDUP_JOIN,
     "common_neighbors_topk": _sql_common_neighbors(),
+    "winsorized_lengths": SQL_WINSORIZED_LENGTHS,
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,
