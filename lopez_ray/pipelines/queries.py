@@ -5430,6 +5430,169 @@ group by r.lang, cuts.n, cuts.lo_cut, cuts.hi_cut
 """
 
 
+def _skyline_partition(df):
+    """2-D Pareto frontier (maximize both columns) of one partition —
+    vectorized: sort by (spend desc, n desc); a row survives iff it
+    carries its spend-group's max n AND that max beats every
+    strictly-richer group's best (ties on BOTH axes are mutually
+    non-dominating and all kept). Skyline is an idempotent combiner:
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)), which is what
+    makes the distributed plan a per-batch local frontier + one final
+    merge."""
+    df = df.sort_values(
+        ["spend_c", "n_orders"], ascending=[False, False]
+    ).reset_index(drop=True)
+    spend = df["spend_c"].to_numpy(np.int64)
+    n = df["n_orders"].to_numpy(np.int64)
+    first = np.ones(len(df), bool)
+    first[1:] = spend[1:] != spend[:-1]
+    gid = np.cumsum(first) - 1
+    gmax = np.maximum.reduceat(n, np.flatnonzero(first))
+    best_before = np.empty_like(gmax)
+    best_before[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(gmax[:-1], out=best_before[1:])
+    keep = (n == gmax[gid]) & (gmax[gid] > best_before[gid])
+    return df.loc[keep]
+
+
+def q_customer_skyline(sf_dir: str):
+    """PARETO FRONTIER (skyline): customers not dominated on (total
+    spend, order count) — the multi-objective "best" set behind
+    tiering and outlier review. Stage 1 is the usual per-custkey
+    combiner + reduce; stage 2 exploits the skyline's combiner algebra
+    — each batch emits its LOCAL frontier (tiny), one final task
+    merges frontiers. Spend rides as exact int64 cents; the output
+    divides once, so the compare is tie-free."""
+    from ..stages.shuffle import grouped_sum_max
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "spend": pc.round(pc.multiply(b["o_totalprice"], 100.0)).cast(
+                    pa.int64()
+                ),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        return t.group_by("o_custkey").aggregate(
+            [("spend", "sum"), ("one", "sum")]
+        )
+
+    per_cust = grouped_sum_max(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        sums={"spend_sum": "spend_c", "one_sum": "n_orders"},
+    )
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "o_custkey": np.asarray(b["o_custkey"], np.int64),
+                "spend_c": np.asarray(b["spend_c"], np.int64),
+                "n_orders": np.asarray(b["n_orders"], np.int64),
+            }
+        )
+        return table_from_pandas(_skyline_partition(df))
+
+    frontiers = per_cust.map_batches(local_skyline, batch_format="pyarrow")
+    # final merge: local frontiers are tiny; one driver-side pass
+    merged = _skyline_partition(frontiers.to_pandas())
+    return pa.table(
+        {
+            "o_custkey": pa.array(merged["o_custkey"].to_numpy(), pa.int64()),
+            "total_spend": pa.array(
+                merged["spend_c"].to_numpy(np.int64) / 100.0, pa.float64()
+            ),
+            "n_orders": pa.array(
+                merged["n_orders"].to_numpy(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+SQL_CUSTOMER_SKYLINE = """
+with c as (
+  select o_custkey,
+         sum(cast(round(o_totalprice * 100) as bigint)) as spend_c,
+         count(*) as n_orders
+  from orders group by 1
+)
+select o_custkey, spend_c / 100.0 as total_spend, n_orders
+from c a
+where not exists (
+  select 1 from c b
+  where b.spend_c >= a.spend_c and b.n_orders >= a.n_orders
+    and (b.spend_c > a.spend_c or b.n_orders > a.n_orders)
+)
+"""
+
+
+_DAY_TOPK_PARTS = 3
+
+
+def q_day_top_parts(sf_dir: str):
+    """Grouped TOP-K over aggregates: for every ship day, the 3 most
+    shipped parts (tie → lowest partkey) — the tumbling-window
+    trending-items query. Per batch: (day, part) count partials; ONE
+    exchange on day (whole days co-locate), then per-day count merge +
+    a vectorized sort/head(3). Day buckets floor-divide µs (pre-1970
+    safe)."""
+    from ..stages.shuffle import partitioned_reduce
+
+    ds = _rp(sf_dir, "lineitem", ["l_shipdate", "l_partkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": _day_bucket(b["l_shipdate"]),
+                "l_partkey": b["l_partkey"],
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["day", "l_partkey"]).aggregate([("one", "sum")])
+
+    def topk(df):
+        m = df.groupby(["day", "l_partkey"], as_index=False)["one_sum"].sum()
+        m = m.rename(columns={"one_sum": "cnt"})
+        m = m.sort_values(
+            ["day", "cnt", "l_partkey"], ascending=[True, False, True]
+        )
+        return m.groupby("day").head(_DAY_TOPK_PARTS)
+
+    return partitioned_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day"], topk
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "day": b["day"].cast(pa.int64()),
+                "l_partkey": b["l_partkey"].cast(pa.int64()),
+                "cnt": b["cnt"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DAY_TOP_PARTS = f"""
+with c as (
+  select cast(floor(epoch_us(l_shipdate) / 86400000000) as bigint) as day,
+         l_partkey, count(*) as cnt
+  from lineitem group by 1, 2
+)
+select day, l_partkey, cnt from (
+  select c.*,
+         row_number() over (partition by day order by cnt desc, l_partkey)
+           as rn
+  from c
+) where rn <= {_DAY_TOPK_PARTS}
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -5520,6 +5683,8 @@ QUERIES = {
     "name_neardup_join": q_name_neardup_join,
     "common_neighbors_topk": q_common_neighbors_topk,
     "winsorized_lengths": q_winsorized_lengths,
+    "customer_skyline": q_customer_skyline,
+    "day_top_parts": q_day_top_parts,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -5600,6 +5765,8 @@ ORACLES = {
     "name_neardup_join": SQL_NAME_NEARDUP_JOIN,
     "common_neighbors_topk": _sql_common_neighbors(),
     "winsorized_lengths": SQL_WINSORIZED_LENGTHS,
+    "customer_skyline": SQL_CUSTOMER_SKYLINE,
+    "day_top_parts": SQL_DAY_TOP_PARTS,
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,

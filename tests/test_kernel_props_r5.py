@@ -17,6 +17,7 @@ from lopez_ray.pipelines.queries import (  # noqa: E402
     _debounce_partition,
     _decile_partition,
     _running_total_partition,
+    _skyline_partition,
 )
 
 
@@ -75,6 +76,60 @@ def test_debounce_partition_vs_brute(seed):
             if i == 0 or s["ts_us"][i] - s["ts_us"][i - 1] > _DEBOUNCE_GAP_US:
                 want.add(int(s["event_id"][i]))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_skyline_partition_vs_brute(seed):
+    r = _rng(seed)
+    n = int(r.integers(1, 200))
+    # small value domains force heavy ties on one or both axes
+    df = pd.DataFrame(
+        {
+            "o_custkey": np.arange(n, dtype=np.int64),
+            "spend_c": r.integers(0, 8, n).astype(np.int64),
+            "n_orders": r.integers(0, 8, n).astype(np.int64),
+        }
+    )
+    got = set(_skyline_partition(df.copy())["o_custkey"])
+    pts = df[["spend_c", "n_orders"]].to_numpy()
+    want = set()
+    for i in range(n):
+        dominated = False
+        for j in range(n):
+            if i == j:
+                continue
+            ge = pts[j][0] >= pts[i][0] and pts[j][1] >= pts[i][1]
+            gt = pts[j][0] > pts[i][0] or pts[j][1] > pts[i][1]
+            if ge and gt:
+                dominated = True
+                break
+        if not dominated:
+            want.add(int(df["o_custkey"][i]))
+    assert got == want
+
+
+def test_skyline_idempotent_combiner():
+    # skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the algebra
+    # the distributed plan depends on
+    r = _rng(7)
+    mk = lambda m: pd.DataFrame(  # noqa: E731
+        {
+            "o_custkey": r.integers(0, 10**6, m).astype(np.int64),
+            "spend_c": r.integers(0, 20, m).astype(np.int64),
+            "n_orders": r.integers(0, 20, m).astype(np.int64),
+        }
+    )
+    a, b = mk(150), mk(150)
+    direct = _skyline_partition(pd.concat([a, b], ignore_index=True))
+    merged = _skyline_partition(
+        pd.concat(
+            [_skyline_partition(a), _skyline_partition(b)], ignore_index=True
+        )
+    )
+    key = lambda d: sorted(  # noqa: E731
+        map(tuple, d[["spend_c", "n_orders", "o_custkey"]].to_numpy())
+    )
+    assert key(direct) == key(merged)
 
 
 @pytest.mark.parametrize("seed", range(5))
