@@ -4052,11 +4052,13 @@ def q_doc_triangles(sf_dir: str):
 
 def _tri_und_cte() -> str:
     """Shared CTE prefix: the deterministic doc link graph's distinct
-    undirected edge set (the SQL twin of ``_tri_edge_targets``)."""
+    undirected edge set (the SQL twin of ``_tri_edge_targets``).
+    RECURSIVE so the BFS oracle can extend it; harmless for the
+    non-recursive consumers."""
     g0 = _md5_u64_sql("'g0|' || cast(doc_id as varchar)")
     g1 = _md5_u64_sql("'g1|' || cast(doc_id as varchar)")
     return f"""
-with nn as (select count(*) as n from documents),
+with recursive nn as (select count(*) as n from documents),
 raw as (
   select doc_id as s, (doc_id + 1) % nn.n as d from documents, nn
   union all
@@ -5593,6 +5595,119 @@ select day, l_partkey, cnt from (
 """
 
 
+_BFS_MAX_DEPTH = 3
+_BFS_SEED_MOD = 97
+
+
+def q_doc_bfs_dist(sf_dir: str):
+    """Multi-source BFS (bounded depth 3) over the deterministic doc
+    link graph — the reachability/contamination-radius primitive
+    (label spill from seed documents). ITERATIVE Dataset algebra, the
+    third graph loop next to PageRank and CC: seeds (doc_id % 97 == 0)
+    start at dist 0; each round joins the previous frontier against
+    the directed edge table (one partitioned join keyed on the
+    frontier node) and min-merges candidate distances into the
+    distance table (one partitioned reduce). Frontier = nodes whose
+    distance improved, so settled nodes leave the loop — at 100 TB
+    each round touches O(frontier), not O(graph)."""
+    import ray.data as rd
+
+    from ..stages.shuffle import partitioned_lookup_join, partitioned_reduce
+
+    n = _pq_rows(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def directed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        s, d = _tri_edge_targets(ids, n)
+        keep = s != d
+        return pa.table(
+            {
+                "u": pa.array(
+                    np.concatenate([s[keep], d[keep]]), pa.int64()
+                ),
+                "v": pa.array(
+                    np.concatenate([d[keep], s[keep]]), pa.int64()
+                ),
+            }
+        )
+
+    edges = partitioned_reduce(
+        ds.map_batches(directed, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(["u", "v"]),
+    ).map_batches(
+        lambda b: pa.table(
+            {"node": b["u"].cast(pa.int64()), "v": b["v"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def seed_batch(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        s = ids[ids % _BFS_SEED_MOD == 0]
+        return pa.table(
+            {
+                "node": pa.array(s, pa.int64()),
+                "dist": pa.array(np.zeros(len(s), np.int64), pa.int64()),
+            }
+        )
+
+    dist = ds.map_batches(seed_batch, batch_format="pyarrow")
+    frontier = dist
+
+    for k in range(1, _BFS_MAX_DEPTH + 1):
+        hops = partitioned_lookup_join(
+            edges, frontier, ["node"], how="inner"
+        ).map_batches(
+            lambda b, k=k: pa.table(
+                {
+                    "node": b["v"].cast(pa.int64()),
+                    "dist": pa.array(np.full(b.num_rows, k, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def min_merge(df):
+            return df.groupby("node", as_index=False)["dist"].min()
+
+        merged = partitioned_reduce(dist.union(hops), ["node"], min_merge)
+        # frontier = nodes first reached THIS round (dist == k)
+        frontier = merged.map_batches(
+            lambda b, k=k: b.filter(pc.equal(b["dist"], k)),
+            batch_format="pyarrow",
+        )
+        dist = merged
+        if frontier.count() == 0:
+            break
+
+    return dist.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["node"].cast(pa.int64()),
+                "dist": b["dist"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_doc_bfs_dist() -> str:
+    return f"""{_tri_und_cte()},
+edges as (select a as u, b as v from und union select b, a from und),
+walk(v, dist) as (
+  select doc_id, 0 from documents where doc_id % {_BFS_SEED_MOD} = 0
+  union
+  select e.v, w.dist + 1
+  from walk w join edges e on e.u = w.v
+  where w.dist < {_BFS_MAX_DEPTH}
+)
+select v as doc_id, cast(min(dist) as bigint) as dist
+from walk group by v
+"""
+
+
 CRAWL_CONFIG = """
 seed "https://host0.test/p/0";
 seed "https://host1.test/p/0";
@@ -5685,6 +5800,7 @@ QUERIES = {
     "winsorized_lengths": q_winsorized_lengths,
     "customer_skyline": q_customer_skyline,
     "day_top_parts": q_day_top_parts,
+    "doc_bfs_dist": q_doc_bfs_dist,
     "orders_running_total": q_orders_running_total,
     "kmeans_step": q_kmeans_step,
     "table_profile": q_table_profile,
@@ -5767,6 +5883,7 @@ ORACLES = {
     "winsorized_lengths": SQL_WINSORIZED_LENGTHS,
     "customer_skyline": SQL_CUSTOMER_SKYLINE,
     "day_top_parts": SQL_DAY_TOP_PARTS,
+    "doc_bfs_dist": _sql_doc_bfs_dist(),
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
     "kmeans_step": SQL_KMEANS_STEP,
     "table_profile": SQL_TABLE_PROFILE,
