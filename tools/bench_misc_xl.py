@@ -132,6 +132,7 @@ def main() -> None:
     stages["gen"] = round(time.perf_counter() - t0, 2)
 
     from lopez_ray.pipelines.queries import (
+        q_doc_bfs_dist,
         q_doc_graph_components,
         q_doc_triangles,
         q_kmeans_step,
@@ -148,6 +149,7 @@ def main() -> None:
 
     run("doc_triangles", q_doc_triangles, misc_dir)
     run("doc_graph_components", q_doc_graph_components, misc_dir)
+    run("doc_bfs_dist", q_doc_bfs_dist, misc_dir)
     run("lang_token_entropy", q_lang_token_entropy, misc_dir)
     run("vocab_overlap", q_vocab_overlap, misc_dir)
     run("table_profile", q_table_profile, misc_dir)
