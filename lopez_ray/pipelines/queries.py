@@ -4112,11 +4112,16 @@ def q_kmeans_step(sf_dir: str):
 
     from ..stages.shuffle import grouped_sum_max
 
+    import pyarrow.parquet as _pq
+
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # seed fetch: predicate-pushdown parquet read (row-group pruning),
+    # NOT a full-table Dataset scan for 8 rows
     seeds = (
-        ds.map_batches(
-            lambda b: b.filter(pc.less(b["vec_id"], _KMEANS_K)),
-            batch_format="pyarrow",
+        _pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", _KMEANS_K)],
         )
         .to_pandas()
         .sort_values("vec_id")
@@ -5502,7 +5507,12 @@ def q_customer_skyline(sf_dir: str):
         return table_from_pandas(_skyline_partition(df))
 
     frontiers = per_cust.map_batches(local_skyline, batch_format="pyarrow")
-    # final merge: local frontiers are tiny; one driver-side pass
+    # final merge: one driver-side pass over the union of local
+    # frontiers. Typical frontiers are O(log n); the anti-correlated
+    # worst case makes them O(batch), in which case the scale path is
+    # a spend-RANGE partition + per-range frontier + prefix-max sweep
+    # across range boundaries (the order-statistic family's pattern) —
+    # not needed at any benched size
     merged = _skyline_partition(frontiers.to_pandas())
     return pa.table(
         {
